@@ -1,0 +1,120 @@
+"""Generalized sidelobe canceller with dynamic adaptation rate.
+
+Reference: gsc.cpp — two stages:
+
+1. per-mic phase alignment in the frequency domain via the by-mic WOLA path
+   (gsc.cpp:54-75, do_overlap_bymic at util.h:353-379): each mic's spectrum
+   is multiplied by conj(w_mic) and resynthesised separately;
+2. a per-*sample* time-domain adaptive stage (gsc.cpp:120-179): fixed beam =
+   mic average, blocking matrix = adjacent-mic differences (M-1 channels),
+   FIR filter bank (filter_size taps) with LMS-style updates
+   g += mu * e * u, dynamic mu:
+       mu = mu0/last_out_power  if mu0*block_power/last_out_power < mu_max
+            mu0/block_power     otherwise
+   with NaN/Inf scrubbing (gsc.cpp:158-168) and an optional VAD gate on the
+   output power (gsc.cpp:146).
+
+TPU design: stage 1 is fully batched (one einsum + batched iFFTs). Stage 2
+is irreducibly sample-serial (each output feeds the next update), expressed
+as a ``lax.scan`` over samples with the (M-1, K) filter bank vectorized per
+step; running sums make the power estimates O(1) per sample instead of the
+reference's O(K) rescans. A Pallas kernel version lives in
+beamform_tpu.kernels.gsc_pallas for throughput.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from beamform_tpu.config import EngineConfig, GscParams
+from beamform_tpu.geometry import ArrayGeometry
+from beamform_tpu.models import common
+from beamform_tpu.dsp.wola import overlap_add
+
+
+class GscState(NamedTuple):
+    block: jnp.ndarray      # (M-1, K) blocking-matrix shift registers
+    filt: jnp.ndarray       # (M-1, K) adaptive filters
+    last_out: jnp.ndarray   # (K,) recent outputs
+
+
+def gsc_init_state(num_mics: int, filter_size: int, rdtype) -> GscState:
+    return GscState(
+        jnp.zeros((num_mics - 1, filter_size), dtype=rdtype),
+        jnp.zeros((num_mics - 1, filter_size), dtype=rdtype),
+        jnp.zeros((filter_size,), dtype=rdtype),
+    )
+
+
+def gsc_sample_step(state: GscState, a_t, p: GscParams):
+    """One sample of the adaptive stage. ``a_t``: (M,) aligned samples."""
+    k = state.block.shape[-1]
+    das = jnp.mean(a_t)
+    u_new = a_t[1:] - a_t[:-1]                          # blocking matrix
+    block = jnp.concatenate([state.block[:, 1:], u_new[:, None]], axis=1)
+    block_out = jnp.sum(state.filt * block, axis=1)     # (M-1,)
+    out = das - jnp.sum(block_out)
+
+    last_out = jnp.concatenate([state.last_out[1:], out[None]])
+    last_pow = jnp.sqrt(jnp.mean(last_out ** 2))
+    block_pow = jnp.sqrt(jnp.mean(block ** 2, axis=1))  # (M-1,)
+
+    ratio = p.mu0 * block_pow / last_pow
+    mu = jnp.where(ratio < p.mu_max, p.mu0 / last_pow, p.mu0 / block_pow)
+    mu = jnp.where(jnp.isnan(mu) | jnp.isinf(mu), 0.0, mu)
+
+    filt_new = state.filt + mu[:, None] * out * block
+    filt_new = jnp.where(jnp.isnan(filt_new), 0.0, filt_new)
+    if p.use_vad:
+        upd = last_pow < p.vad_threshold
+        filt_new = jnp.where(upd, filt_new, state.filt)
+    return GscState(block, filt_new, last_out), out
+
+
+class GscModel:
+    name = "gsc"
+
+    def __init__(self, engine: EngineConfig, geom: ArrayGeometry,
+                 params: GscParams = GscParams(), interference_angles=()):
+        self.engine, self.geom, self.params = engine, geom, params
+        self.rdtype, self.cdtype = common.dtypes_of(engine)
+        self.freqs = common.make_freqs(engine)
+        self.window = common.make_window(engine, self.rdtype)
+        self._jit = jax.jit(self._forward)
+
+    def aligned_streams(self, x, w_uniq, w_idx):
+        """Stage 1: per-mic phase-aligned, WOLA-resynthesised streams.
+        x (M, S) -> (S, M)."""
+        x_spec = common.stft(x, self.engine, self.window, self.cdtype)
+        w = w_uniq[w_idx]                       # (T, M, N)
+        aligned_spec = x_spec * jnp.conj(w)     # gsc.cpp:62-65
+        y = jnp.fft.ifft(aligned_spec, axis=-1).real  # (T, M, N)
+        y = y * self.window
+        y = jnp.moveaxis(y, 1, 0)               # (M, T, N)
+        streams = overlap_add(y, self.engine.hop)     # (M, S)
+        return jnp.moveaxis(streams, 0, 1)      # (S, M)
+
+    def _forward(self, x, w_uniq, w_idx, state: GscState):
+        aligned = self.aligned_streams(x, w_uniq, w_idx)
+
+        def step(st, a_t):
+            return gsc_sample_step(st, a_t, self.params)
+
+        state, out = jax.lax.scan(step, state, aligned)
+        return out, state
+
+    def process(self, x, theta=0.0, state: GscState = None,
+                return_state: bool = False):
+        x = common.prepare_input(x, self.engine, self.rdtype)
+        t = x.shape[-1] // self.engine.hop
+        th = common.theta_per_frame(theta, t)
+        w_uniq, w_idx = common.unique_theta_weights(
+            self.geom, self.freqs, th, self.rdtype)
+        if state is None:
+            state = gsc_init_state(self.geom.num_mics,
+                                   self.params.filter_size, self.rdtype)
+        out, state = self._jit(x, w_uniq.astype(self.cdtype), w_idx, state)
+        return (out, state) if return_state else out

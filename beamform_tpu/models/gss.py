@@ -1,0 +1,118 @@
+"""Online Geometric Source Separation (Valin 2007, ODAS-style).
+
+Reference: gss.cpp — steering matrix A(f) built like LCMV's constraints
+(gss.cpp:51-94), demixing matrix W(f) initialised to A(f)^H (gss.cpp:92-93);
+per gated bin: y = W x, output source 0 (gss.cpp:120-121); natural-gradient
+update (gss.cpp:124-136):
+
+    E   = y y^H with zeroed diagonal
+    a   = ||x||^4
+    dJ1 = 4 S (1/a) (E y) x^H
+    dJ2 = 2 (1/S) ((W A) - I) A^H
+    W  <- (1 - lambda mu) W - mu (dJ1 + dJ2)
+
+Band gate zeroes the bin; energy-gate failure passes 0.01*X0 through and
+skips the update. ``out_amp`` gain on the output stream.
+
+TPU design: the per-bin demixing matrices over the static in-band subset are
+the carry of a ``lax.scan`` over frames — (N_ib, S, M) — updated with masked
+einsums; no per-bin loop, no reallocation for interference changes.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from beamform_tpu.config import EngineConfig, GssParams
+from beamform_tpu.geometry import ArrayGeometry
+from beamform_tpu.models import common
+from beamform_tpu.models.lcmv import build_constraints
+
+
+def gss_update(w_sep, a_mat, a_h, x, gate, mu, lam):
+    """One GSS step over all carried bins.
+
+    w_sep (Nib, S, M); a_mat (Nib, M, S); a_h (Nib, S, M); x (M, Nib);
+    gate (Nib,) bool. Returns (new_w, y_first_source (Nib,)).
+    """
+    s = w_sep.shape[-2]
+    xt = jnp.moveaxis(x, 0, -1)                          # (Nib, M)
+    yf = jnp.einsum("nsm,nm->ns", w_sep, xt)             # (Nib, S)
+    e = jnp.einsum("ns,nk->nsk", yf, jnp.conj(yf))
+    eye_s = jnp.eye(s, dtype=w_sep.dtype)
+    e = e * (1.0 - eye_s)                                # zero diagonal
+    alpha = jnp.sum(jnp.abs(xt) ** 2, axis=-1) ** 2      # (Nib,)
+    ey = jnp.einsum("nsk,nk->ns", e, yf)
+    dj1 = (4.0 * s) * jnp.einsum("ns,nm->nsm", ey, jnp.conj(xt))
+    dj1 = dj1 / alpha[:, None, None].astype(w_sep.dtype)
+    wa = jnp.einsum("nsm,nmk->nsk", w_sep, a_mat)
+    dj2 = (2.0 / s) * jnp.einsum("nsk,nkm->nsm", wa - eye_s, a_h)
+    w_new = (1.0 - lam * mu) * w_sep - mu * (dj1 + dj2)
+    w_sep = jnp.where(gate[:, None, None], w_new, w_sep)
+    return w_sep, yf[:, 0]
+
+
+class GssModel:
+    name = "gss"
+
+    def __init__(self, engine: EngineConfig, geom: ArrayGeometry,
+                 params: GssParams = GssParams(), interference_angles=()):
+        self.engine, self.geom, self.params = engine, geom, params
+        self.interf = tuple(interference_angles)
+        self.rdtype, self.cdtype = common.dtypes_of(engine)
+        self.freqs = common.make_freqs(engine)
+        self.window = common.make_window(engine, self.rdtype)
+        # NB: unlike MVDR/LCMV, gss.cpp's bin loop starts at j=0 — no DC
+        # special case (gss.cpp:110), so bin 0 obeys the band gate too.
+        mask = ((np.abs(self.freqs) >= params.freq_min)
+                & (np.abs(self.freqs) <= params.freq_max))
+        self.ib = np.nonzero(mask)[0].astype(np.int32)
+        self._jit = jax.jit(self._forward)
+
+    def _steering_for_thetas(self, thetas):
+        cs = [build_constraints(self.geom, self.freqs, th, self.interf,
+                                self.rdtype)[self.ib]
+              for th in np.atleast_1d(thetas)]
+        return jnp.stack(cs).astype(self.cdtype)    # (U, Nib, M, S)
+
+    def _forward(self, x, a_uniq, w_idx):
+        p = self.params
+        x_spec = common.stft(x, self.engine, self.window, self.cdtype)
+        mag = common.mag_mean_over_mics(x_spec)
+        ib = jnp.asarray(self.ib)
+        x_ib = x_spec[:, :, ib]
+        mag_ib = mag[:, ib]
+        a_h_uniq = jnp.conj(jnp.swapaxes(a_uniq, -1, -2))  # (U, Nib, S, M)
+
+        # theta changes reset W to A^H (gss.cpp:90-93 in update_weights);
+        # detect change points in the per-frame unique-theta index.
+        idx_prev = jnp.concatenate([w_idx[:1], w_idx[:-1]])
+        reset = w_idx != idx_prev
+        reset = reset.at[0].set(False)
+
+        def step(w_sep, inp):
+            x_t, mag_t, u_t, reset_t = inp
+            w_sep = jnp.where(reset_t, a_h_uniq[u_t], w_sep)
+            gate = mag_t > p.freq_mag_threshold
+            w_new, y_sep = gss_update(w_sep, a_uniq[u_t], a_h_uniq[u_t],
+                                      x_t, gate, p.mu, p.lam)
+            y_t = jnp.where(gate, y_sep, x_t[0, :] * 0.01)
+            return w_new, y_t
+
+        w0 = a_h_uniq[0]
+        _, y_ib = jax.lax.scan(step, w0, (x_ib, mag_ib, w_idx, reset))
+
+        y = jnp.zeros((x_spec.shape[0], x_spec.shape[2]), dtype=self.cdtype)
+        y = y.at[:, ib].set(y_ib)
+        out = common.istft(y, self.engine, self.window)
+        return out * p.out_amp
+
+    def process(self, x, theta=0.0):
+        x = common.prepare_input(x, self.engine, self.rdtype)
+        t = x.shape[-1] // self.engine.hop
+        th = common.theta_per_frame(theta, t)
+        uniq, inv = np.unique(th, return_inverse=True)
+        a_uniq = self._steering_for_thetas(uniq)
+        return self._jit(x, a_uniq, jnp.asarray(inv, dtype=jnp.int32))

@@ -1,0 +1,118 @@
+"""LCMV beamformer with dynamic interference constraints.
+
+Reference: lcmv.cpp — per-bin constraint matrix C(f) = [d_doi, d_int1..K]
+(lcmv.cpp:44-86), the MVDR covariance machinery (lcmv.cpp:112-113),
+w = R^-1 C (C^H R^-1 C)^-1 with output column 0 (lcmv.cpp:116-119), the same
+band/energy gates and out_amp as MVDR.
+
+The reference mutates the interference set via the ``/theta_interference``
+topic with proximity add/move/remove and a READY=false + 30 ms quiesce for
+reallocation (lcmv.cpp:221-309). Here the interference set is a
+fixed-capacity masked constraint timeline (see
+beamform_tpu.runtime.timeline): constant-shape state, no reallocation, no
+locks. Faithful detail: after the reference's first reallocation,
+``update_weights(ini=false)`` leaves the mic0 constraint row zero
+(allocate_interf_buffers zero-fills; row 0 only written when ini=true) —
+exposed as ``row0_scale`` in the constraint builder.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from beamform_tpu.config import EngineConfig, LcmvParams
+from beamform_tpu.geometry import (
+    ArrayGeometry,
+    steering_delays,
+    steering_matrix,
+)
+from beamform_tpu.models import common
+from beamform_tpu.models.mvdr import batched_inv, white_r
+
+
+def lcmv_solve(r, c):
+    """w = R^-1 C (C^H R^-1 C)^-1, output column 0 (lcmv.cpp:116-119).
+    r (..., M, M); c (..., M, S) -> (..., M)."""
+    inv = batched_inv(r)
+    ric = jnp.einsum("...mk,...ks->...ms", inv, c)
+    inner = jnp.einsum("...ms,...mk->...sk", jnp.conj(c), ric)
+    w_all = jnp.einsum("...ms,...sk->...mk", ric, batched_inv(inner))
+    return w_all[..., 0]
+
+
+def build_constraints(geom: ArrayGeometry, freqs, theta, interf_angles,
+                      rdtype, *, row0_scale=1.0, active_mask=None):
+    """C (K_bins, M, S) for one theta and a static interference set."""
+    doi = steering_delays(geom, jnp.asarray(theta, dtype=rdtype),
+                          dtype=rdtype)
+    if len(interf_angles):
+        taui = steering_delays(
+            geom, jnp.asarray(np.asarray(interf_angles), dtype=rdtype),
+            dtype=rdtype)
+    else:
+        taui = jnp.zeros((0, geom.num_mics), dtype=rdtype)
+    return steering_matrix(jnp.asarray(freqs, dtype=rdtype), doi, taui,
+                           row0_scale=row0_scale, active_mask=active_mask)
+
+
+class LcmvModel:
+    name = "lcmv"
+
+    def __init__(self, engine: EngineConfig, geom: ArrayGeometry,
+                 params: LcmvParams = LcmvParams(), interference_angles=()):
+        self.engine, self.geom, self.params = engine, geom, params
+        self.interf = tuple(interference_angles)
+        self.rdtype, self.cdtype = common.dtypes_of(engine)
+        self.freqs = common.make_freqs(engine)
+        self.window = common.make_window(engine, self.rdtype)
+        mask = common.band_mask(self.freqs, params.freq_min, params.freq_max)
+        self.ib = np.nonzero(mask)[0].astype(np.int32)
+        self._jit = jax.jit(self._forward)
+
+    def _constraints_for_thetas(self, thetas):
+        cs = [build_constraints(self.geom, self.freqs, th, self.interf,
+                                self.rdtype)[self.ib]
+              for th in np.atleast_1d(thetas)]
+        return jnp.stack(cs).astype(self.cdtype)   # (U, Nib, M, S)
+
+    def _forward(self, x, c_uniq, w_idx):
+        p = self.params
+        m = self.geom.num_mics
+        x_spec = common.stft(x, self.engine, self.window, self.cdtype)
+        mag = common.mag_mean_over_mics(x_spec)
+        ib = jnp.asarray(self.ib)
+        x_ib = x_spec[:, :, ib]
+        mag_ib = mag[:, ib]
+        wr = white_r(m, self.rdtype).astype(self.cdtype)
+
+        def step(hist, inp):
+            x_t, mag_t, u_t = inp
+            g = jnp.einsum("wmn,wkn->nmk", hist, jnp.conj(hist))
+            r = g * wr[None, :, :]
+            c = c_uniq[u_t]                                  # (Nib, M, S)
+            w0 = lcmv_solve(r, c)                            # (Nib, M)
+            y_bf = jnp.einsum("nm,mn->n", jnp.conj(w0), x_t)
+            y_pass = x_t[0, :] * 0.01
+            y_t = jnp.where(mag_t > p.freq_mag_threshold, y_bf, y_pass)
+            hist = jnp.concatenate([hist[1:], x_t[None]], axis=0)
+            return hist, y_t
+
+        hist0 = jnp.zeros((p.past_windows, m, len(self.ib)),
+                          dtype=self.cdtype)
+        _, y_ib = jax.lax.scan(step, hist0, (x_ib, mag_ib, w_idx))
+
+        y = jnp.zeros((x_spec.shape[0], x_spec.shape[2]), dtype=self.cdtype)
+        y = y.at[:, ib].set(y_ib)
+        y = y.at[:, 0].set(x_spec[:, 0, 0])
+        out = common.istft(y, self.engine, self.window)
+        return out * p.out_amp
+
+    def process(self, x, theta=0.0):
+        x = common.prepare_input(x, self.engine, self.rdtype)
+        t = x.shape[-1] // self.engine.hop
+        th = common.theta_per_frame(theta, t)
+        uniq, inv = np.unique(th, return_inverse=True)
+        c_uniq = self._constraints_for_thetas(uniq)
+        return self._jit(x, c_uniq, jnp.asarray(inv, dtype=jnp.int32))

@@ -1,0 +1,75 @@
+"""Utility nodes: the alignment reference and the loudest-mic reader.
+
+* RefModel — jack_ref.cpp:19-30: mic0 through the identity WOLA path
+  (windowed twice, overlap-added) so its output time-aligns sample-exactly
+  with every beamformer's output; the cornerstone of offline evaluation
+  (README.md:42).
+* ReadModel — jack_read.cpp:10-43: per window, pass through the loudest
+  microphone (energy = sum |100*x|), keeping the previous pick for all-zero
+  windows.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from beamform_tpu.config import DasParams, EngineConfig
+from beamform_tpu.geometry import ArrayGeometry
+from beamform_tpu.models import common
+from beamform_tpu.dsp.wola import frame_signal, overlap_add
+
+
+class RefModel:
+    name = "ref"
+
+    def __init__(self, engine: EngineConfig, geom: ArrayGeometry,
+                 params: DasParams = DasParams(), interference_angles=()):
+        self.engine = engine
+        self.rdtype, _ = common.dtypes_of(engine)
+        self.window = common.make_window(engine, self.rdtype)
+        self._jit = jax.jit(self._forward)
+
+    def _forward(self, x):
+        frames = frame_signal(x[0], self.engine.hop)     # (T, 2h)
+        p = frames * self.window * self.window           # hann^2, no FFT
+        return overlap_add(p, self.engine.hop)
+
+    def process(self, x, theta=0.0):
+        x = common.prepare_input(x, self.engine, self.rdtype)
+        return self._jit(x)
+
+
+class ReadModel:
+    name = "read"
+
+    def __init__(self, engine: EngineConfig, geom: ArrayGeometry,
+                 params: DasParams = DasParams(), interference_angles=()):
+        self.engine = engine
+        self.rdtype, _ = common.dtypes_of(engine)
+        self._jit = jax.jit(self._forward)
+
+    def _forward(self, x):
+        h = self.engine.hop
+        m, s = x.shape
+        wins = x.reshape(m, s // h, h)
+        energy = jnp.sum(jnp.abs(wins * 100.0), axis=-1).T   # (T, M)
+
+        def step(past, e_t):
+            # jack_read.cpp:20-37: strictly-greater scan keeps the first
+            # max; all-zero windows keep the previous pick (or mic0 at t=0).
+            any_pos = jnp.any(e_t > 0.0)
+            pick = jnp.argmax(e_t).astype(jnp.int32)
+            first = past < 0
+            idx = jnp.where(any_pos, pick,
+                            jnp.where(first, jnp.int32(0), past))
+            return idx, idx
+
+        _, picks = jax.lax.scan(step, jnp.int32(-1), energy)
+        sel = jnp.take_along_axis(
+            jnp.moveaxis(wins, 0, 1), picks[:, None, None], axis=1)
+        return sel[:, 0, :].reshape(-1)
+
+    def process(self, x, theta=0.0):
+        x = common.prepare_input(x, self.engine, self.rdtype)
+        return self._jit(x)
