@@ -1,0 +1,200 @@
+"""Command-line interface: the launch-file equivalent.
+
+One subcommand per reference node (das, mvdr, gsc, lcmv, gss, phase,
+phasempf, mcra, ref, read — CMakeLists.txt:53-63), reading the same two YAML
+config schemas the reference loads via roslaunch plus per-node parameter
+overrides (the inline <rosparam> blocks in launch/*.launch).
+
+Offline semantics: input WAV in, processed WAV out, with the rosjack output
+policy applied (16-bit PCM writer, optional output resampling —
+rosjack.cpp:159-210), and an xRT (audio-seconds per wall-second) report, the
+framework's replacement for the reference's per-callback latency printouts
+(util.h:13-17).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+from beamform_tpu.config import (
+    EngineConfig,
+    PARAM_CLASSES,
+    load_array_config,
+    load_rosjack_config,
+    parse_array_config,
+)
+from beamform_tpu.models import get_model
+from beamform_tpu.runtime import wav as wav_io
+from beamform_tpu.runtime.resample import resample
+
+NODES = tuple(PARAM_CLASSES.keys())
+
+
+def _parse_value(v: str):
+    low = v.lower()
+    if low in ("true", "false"):
+        return low == "true"
+    try:
+        return int(v)
+    except ValueError:
+        pass
+    try:
+        return float(v)
+    except ValueError:
+        return v
+
+
+def build_parser():
+    p = argparse.ArgumentParser(
+        prog="beamform-tpu",
+        description="TPU-native multichannel beamforming (capabilities of "
+                    "balkce/beamform, re-designed for JAX/XLA)")
+    p.add_argument("node", choices=NODES, help="beamformer / node to run")
+    p.add_argument("--in", dest="input", required=True,
+                   help="multichannel input WAV (one channel per mic)")
+    p.add_argument("--out", dest="output", default=None,
+                   help="output WAV path (default: rosjack write_file_path "
+                        "or <in>.<node>.wav)")
+    p.add_argument("--array-config", default=None,
+                   help="beamform_config.yaml (mic geometry, initial angle, "
+                        "interferences)")
+    p.add_argument("--rosjack-config", default=None,
+                   help="rosjack_config.yaml (output policy, sample rate)")
+    p.add_argument("--theta", type=float, default=None,
+                   help="steering angle in degrees (default: config "
+                        "initial_angle)")
+    p.add_argument("--theta-timeline", default=None,
+                   help="CSV/JSON file of per-frame angles, or "
+                        "'t0:a0,t1:a1,...' second:angle change points")
+    p.add_argument("--window-size", type=int, default=1024,
+                   help="hop size in samples (JACK buffer size equivalent)")
+    p.add_argument("--dtype", choices=("float32", "float64"),
+                   default="float32")
+    p.add_argument("--param", action="append", default=[],
+                   metavar="KEY=VALUE",
+                   help="node hyperparameter override (repeatable), e.g. "
+                        "--param freq_max=16000")
+    p.add_argument("--out-format", choices=("pcm16", "pcm24", "pcm32",
+                                            "float32"), default="pcm16")
+    p.add_argument("--report-json", action="store_true",
+                   help="print a one-line JSON run report to stdout")
+    return p
+
+
+def theta_from_spec(spec: str, num_frames: int, hop: int, fs: int,
+                    initial: float) -> np.ndarray:
+    """Change-point spec 'sec:angle,...' -> per-frame timeline."""
+    th = np.full(num_frames, initial, dtype=np.float64)
+    if spec.endswith(".json"):
+        with open(spec) as f:
+            vals = np.asarray(json.load(f), dtype=np.float64)
+        return vals
+    if spec.endswith(".csv"):
+        vals = np.loadtxt(spec, delimiter=",", dtype=np.float64).ravel()
+        return vals
+    for item in spec.split(","):
+        t_s, a = item.split(":")
+        frame = int(float(t_s) * fs / hop)
+        th[min(frame, num_frames - 1):] = float(a)
+    return th
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    # Some TPU plugins ignore JAX_PLATFORMS; honor a cpu request explicitly.
+    import os
+    if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
+        import jax
+        try:
+            jax.config.update("jax_default_device", jax.devices("cpu")[0])
+        except RuntimeError:
+            pass
+
+    x, fs = wav_io.read_wav(args.input)
+    if args.array_config:
+        array_cfg = load_array_config(args.array_config)
+    else:
+        # no geometry given: co-located mics, one per input channel
+        # (zero delays -> plain averaging); pass --array-config for steering
+        array_cfg = parse_array_config(
+            {f"mic{i}": {"id": i, "x": 0.0, "y": 0.0}
+             for i in range(x.shape[0])})
+        print(f"note: no --array-config; assuming {x.shape[0]} co-located "
+              "mics (no steering)", file=sys.stderr)
+    rosjack = (load_rosjack_config(args.rosjack_config)
+               if args.rosjack_config else None)
+    engine = EngineConfig(sample_rate=fs, window_size=args.window_size,
+                          dtype=args.dtype)
+    if array_cfg.num_mics not in (0, x.shape[0]):
+        print(f"note: config has {array_cfg.num_mics} mics, input has "
+              f"{x.shape[0]} channels; using the first "
+              f"{min(array_cfg.num_mics, x.shape[0])}", file=sys.stderr)
+        x = x[:array_cfg.num_mics]
+
+    theta = args.theta if args.theta is not None else array_cfg.initial_angle
+    num_frames = -(-x.shape[1] // engine.hop)
+    if args.theta_timeline:
+        theta = theta_from_spec(args.theta_timeline, num_frames, engine.hop,
+                                fs, float(theta))
+
+    overrides = dict(kv.split("=", 1) for kv in args.param)
+    overrides = {k: _parse_value(v) for k, v in overrides.items()}
+    model = get_model(args.node, engine, array_cfg, overrides)
+
+    t0 = time.perf_counter()
+    y = np.asarray(model.process(x, theta))
+    wall = time.perf_counter() - t0
+    audio_sec = x.shape[1] / fs
+    xrt = audio_sec / wall if wall > 0 else float("inf")
+
+    out_fs = fs
+    if rosjack and rosjack.ros_output_sample_rate not in (None, fs):
+        out_fs = rosjack.ros_output_sample_rate
+        y = np.asarray(resample(y, fs, out_fs))
+
+    nonfinite = int(np.sum(~np.isfinite(y)))
+    if nonfinite:
+        # The reference writes whatever Eigen produced on singular
+        # covariances (garbage on a cold MVDR/LCMV history with a permissive
+        # energy gate); we zero it at the file boundary and say so.
+        print(f"warning: {nonfinite} non-finite output samples zeroed "
+              "(singular covariance history? raise freq_mag_threshold or "
+              "start with a quieter lead-in)", file=sys.stderr)
+        y = np.nan_to_num(y, nan=0.0, posinf=0.0, neginf=0.0)
+
+    out_path = args.output
+    if out_path is None and rosjack and rosjack.write_file_path:
+        out_path = rosjack.write_file_path
+    if out_path is None:
+        out_path = args.input + f".{args.node}.wav"
+    wav_io.write_wav(out_path, y, out_fs, fmt=args.out_format)
+
+    clip = int(np.sum(np.abs(y) >= 1.0))
+    if clip:
+        # rosjack.cpp:372-374 warns per out-of-range sample
+        print(f"warning: {clip} output samples out of [-1,1] range",
+              file=sys.stderr)
+
+    report = {
+        "node": args.node, "input": args.input, "output": out_path,
+        "mics": int(x.shape[0]), "samples": int(x.shape[1]),
+        "sample_rate": fs, "out_sample_rate": out_fs,
+        "wall_s": round(wall, 4), "xrt": round(xrt, 2),
+        "clipped_samples": clip,
+    }
+    if args.report_json:
+        print(json.dumps(report))
+    else:
+        print(f"{args.node}: {audio_sec:.2f}s audio in {wall:.3f}s "
+              f"({xrt:.1f}x real-time) -> {out_path}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
