@@ -113,6 +113,34 @@ def synthesize(spectra, hop: int, window):
     return overlap_add(y * win, hop)
 
 
+def frame_signal_carry(x, hop: int, tail):
+    """Streaming variant of :func:`frame_signal`: ``tail`` (..., hop) is the
+    previous chunk's last hop (the ring-buffer content). Returns
+    ((..., T, 2*hop) frames, new_tail)."""
+    x = jnp.asarray(x)
+    ext = jnp.concatenate([jnp.asarray(tail, dtype=x.dtype), x], axis=-1)
+    s = x.shape[-1]
+    assert s % hop == 0
+    t = s // hop
+    prev = ext[..., :-hop].reshape(x.shape[:-1] + (t, hop))
+    new = ext[..., hop:].reshape(x.shape[:-1] + (t, hop))
+    return jnp.concatenate([prev, new], axis=-1), x[..., -hop:]
+
+
+def overlap_add_carry(processed, hop: int, prev_second):
+    """Streaming variant of :func:`overlap_add`: ``prev_second`` (..., hop)
+    is the previous chunk's final processed half-window. Returns
+    ((..., T*hop) stream, new_prev_second)."""
+    processed = jnp.asarray(processed)
+    first = processed[..., :, :hop]
+    second = processed[..., :, hop:]
+    shifted = jnp.concatenate(
+        [jnp.asarray(prev_second, dtype=processed.dtype)[..., None, :],
+         second[..., :-1, :]], axis=-2)
+    out = (first + shifted).reshape(processed.shape[:-2] + (-1,))
+    return out, second[..., -1, :]
+
+
 def pad_to_hop(x, hop: int):
     """Zero-pad the last axis up to the next multiple of ``hop``."""
     x = jnp.asarray(x)

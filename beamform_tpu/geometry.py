@@ -130,6 +130,30 @@ def steering_weights(freqs, delays, *, row0_scale=1.0):
     return jnp.concatenate([row0, w[..., 1:, :]], axis=-2)
 
 
+def steering_delays_np(geom: ArrayGeometry, angle_deg) -> np.ndarray:
+    """Host-side (pure numpy) steering delays; same math as
+    :func:`steering_delays`. Useful where device arrays can't round-trip
+    to the host (e.g. tunneled TPU backends)."""
+    angle_deg = np.asarray(angle_deg, dtype=np.float64)
+    rel = geom.angle_deg - angle_deg[..., None]
+    rel = np.where(rel > 180.0, rel - 360.0, rel)
+    rel = np.where(rel < -180.0, rel + 360.0, rel)
+    tau = geom.dist * np.cos(np.deg2rad(rel)) / (-V_SOUND)
+    tau[..., 0] = 0.0
+    return tau
+
+
+def steering_weights_np(freqs, delays, *, row0_scale=1.0) -> np.ndarray:
+    """Host-side (pure numpy) steering weights; same math as
+    :func:`steering_weights`."""
+    freqs = np.asarray(freqs, dtype=np.float64)
+    delays = np.asarray(delays, dtype=np.float64)
+    phase = -2.0 * np.pi * delays[..., :, None] * freqs[None, :]
+    w = np.cos(phase) + 1j * np.sin(phase)
+    w[..., 0, :] = row0_scale
+    return w
+
+
 def steering_matrix(freqs, doi_delays, interf_delays, *, row0_scale=1.0,
                     active_mask: Optional[jnp.ndarray] = None):
     """Constraint/steering matrix A[k][m, s] for LCMV/GSS.

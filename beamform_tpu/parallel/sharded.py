@@ -1,0 +1,170 @@
+"""Multi-chip execution over a (stream, bin) mesh.
+
+Follows the annotate-and-let-XLA-insert-collectives recipe: inputs are
+placed with NamedShardings, intermediates are pinned with
+``lax.with_sharding_constraint``, and XLA emits the all-gathers/psums over
+ICI. The two meaningful parallel axes of this workload:
+
+* ``stream`` (data parallel) — independent recordings / mic arrays;
+* ``bin`` (tensor parallel) — per-frequency-bin state and solves: GSS
+  demixing matrices, MVDR/LCMV covariances. Bin-sharded math needs exactly
+  one all-gather (of output bins) before each iFFT, which XLA inserts at the
+  sharding-constraint boundary.
+
+Pipeline parallelism is deliberately absent: the per-frame compute graph is
+two FFTs deep with no layer stack to cut; the profitable decomposition is
+streams x bins (see SURVEY.md §2, parallelism inventory).
+
+``sharded_training_step`` is the framework's "training" step: the online
+adaptive beamformers *are* streaming learners (GSS natural-gradient demixing
+updates, gss.cpp:124-136), so one step = ingest a frame batch, produce
+beamformed audio, and update the learned per-bin demixing state — with the
+state sharded over the ``bin`` axis and the batch over ``stream``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from beamform_tpu.config import EngineConfig
+from beamform_tpu.models import common
+from beamform_tpu.models.das import das_spectral
+from beamform_tpu.models.gss import gss_update
+
+
+def _constraint(x, mesh, spec):
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+
+def _fft_last(x):
+    """FFT over the last axis via a flattened 2D view: XLA's CPU FFT thunk
+    requires a dim0-major layout, which sharded higher-rank intermediates
+    don't always get; a (batch, n) reshape always does."""
+    shape = x.shape
+    y = jnp.fft.fft(x.reshape(-1, shape[-1]), axis=-1)
+    return y.reshape(shape)
+
+
+def _ifft_last_real(x):
+    shape = x.shape
+    y = jnp.fft.ifft(x.reshape(-1, shape[-1]), axis=-1).real
+    return y.reshape(shape)
+
+
+def _np_window(engine: EngineConfig):
+    """Host-side window constant: keeps jit-captured constants off the
+    default device (a tunneled TPU can't ship them back to the host when
+    the mesh lives on CPU devices)."""
+    from beamform_tpu.dsp.wola import sqrt_hann
+    rdtype = np.float64 if engine.dtype == "float64" else np.float32
+    return sqrt_hann(engine.fft_win).astype(rdtype)
+
+
+def sharded_spectral_pipeline(mesh: Mesh, engine: EngineConfig, weights,
+                              x_batch, kind: str = "das"):
+    """Run a stateless spectral beamformer over a batch of streams.
+
+    x_batch: (B, M, S) with B divisible by the ``stream`` axis and nfft by
+    the ``bin`` axis; weights: (M, nfft). Returns (B, S) outputs.
+    """
+    rdtype, cdtype = common.dtypes_of(engine)
+    window = _np_window(engine)
+
+    from beamform_tpu.dsp.wola import frame_signal, overlap_add
+
+    @partial(jax.jit,
+             in_shardings=(NamedSharding(mesh, P("stream", None, None)),
+                           NamedSharding(mesh, P(None, "bin"))),
+             out_shardings=NamedSharding(mesh, P("stream", None)))
+    def fn(xb, w):
+        frames = frame_signal(xb, engine.hop) * window   # (B, M, T, 2h)
+        spec = _fft_last(frames.astype(cdtype))
+        spec = jnp.moveaxis(spec, 1, 2)                  # (B, T, M, N)
+        spec = _constraint(spec, mesh, P("stream", None, None, "bin"))
+        if kind == "das":
+            y = jax.vmap(lambda s, ww: das_spectral(s, ww),
+                         in_axes=(0, None))(spec, w)
+        else:
+            raise ValueError(kind)
+        y = _constraint(y, mesh, P("stream", None, "bin"))
+        out = overlap_add(_ifft_last_real(y) * window, engine.hop)
+        return _constraint(out, mesh, P("stream", None))
+
+    return fn(jnp.asarray(x_batch, dtype=rdtype),
+              jnp.asarray(weights, dtype=cdtype))
+
+
+def make_training_state(mesh: Mesh, engine: EngineConfig, batch: int,
+                        num_mics: int, num_sources: int, steering):
+    """Per-stream, per-bin GSS demixing state W = A^H, sharded (stream, bin).
+
+    ``steering``: (M, nfft) DOI weights; sources beyond the DOI start from
+    the same steering column (tiny init asymmetry is irrelevant for a
+    compile-check and for cold-start training alike)."""
+    np_c = np.complex128 if engine.dtype == "float64" else np.complex64
+    n = engine.fft_win
+    a_h = np.conj(np.swapaxes(np.asarray(steering).astype(np_c), 0, 1))
+    w0 = np.broadcast_to(a_h[None, :, None, :],
+                         (batch, n, num_sources, num_mics))
+    return jax.device_put(
+        w0, NamedSharding(mesh, P("stream", "bin", None, None)))
+
+
+def sharded_training_step(mesh: Mesh, engine: EngineConfig, params,
+                          x_batch, steering, w_state):
+    """One full streaming-learning step over the mesh.
+
+    x_batch (B, M, S): a chunk of frames per stream; steering (M, nfft);
+    w_state (B, nfft, S_src, M) the learned demixing state.
+    Returns (outputs (B, S), new_state, scalar diagnostic).
+    """
+    rdtype, cdtype = common.dtypes_of(engine)
+    window = _np_window(engine)
+
+    x_sh = NamedSharding(mesh, P("stream", None, None))
+    w_sh = NamedSharding(mesh, P(None, "bin"))
+    st_sh = NamedSharding(mesh, P("stream", "bin", None, None))
+
+    @partial(jax.jit,
+             in_shardings=(x_sh, w_sh, st_sh),
+             out_shardings=(NamedSharding(mesh, P("stream", None)), st_sh,
+                            NamedSharding(mesh, P())))
+    def step(xb, w, state):
+        from beamform_tpu.dsp.wola import frame_signal, overlap_add
+        frames = frame_signal(xb, engine.hop) * window
+        spec = jnp.moveaxis(_fft_last(frames.astype(cdtype)), 1, 2)
+        spec = _constraint(spec, mesh, P("stream", None, None, "bin"))
+        mag = common.mag_mean_over_mics(spec)             # (B, T, N)
+
+        a_mat = jnp.swapaxes(w, 0, 1)[:, :, None]         # (N, M, 1) DOI col
+        s_src = state.shape[-2]
+        a_mat = jnp.broadcast_to(a_mat, a_mat.shape[:-1] + (s_src,))
+        a_h = jnp.conj(jnp.swapaxes(a_mat, -1, -2))       # (N, S, M)
+
+        def frame_step(w_sep, inp):
+            x_t, mag_t = inp                              # (B, M, N), (B, N)
+            gate = mag_t > params.freq_mag_threshold
+            w_new, y0 = jax.vmap(gss_update, in_axes=(0, None, None, 0, 0,
+                                                      None, None))(
+                w_sep, a_mat, a_h, x_t, gate, params.mu, params.lam)
+            y_t = jnp.where(gate, y0, x_t[:, 0, :] * 0.01)
+            return w_new, y_t
+
+        spec_t = jnp.swapaxes(spec, 0, 1)                 # (T, B, M, N)
+        mag_t = jnp.swapaxes(mag, 0, 1)
+        state, y = jax.lax.scan(frame_step, state, (spec_t, mag_t))
+        y = jnp.swapaxes(y, 0, 1)                         # (B, T, N)
+        y = _constraint(y, mesh, P("stream", None, "bin"))
+        out = overlap_add(_ifft_last_real(y) * window, engine.hop)
+        out = _constraint(out, mesh, P("stream", None))
+        # global diagnostic: output power across all streams (forces a psum)
+        power = jnp.mean(out ** 2)
+        return out, state, power
+
+    return step(jnp.asarray(x_batch, dtype=rdtype),
+                jnp.asarray(steering, dtype=cdtype), w_state)
