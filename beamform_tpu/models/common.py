@@ -7,7 +7,7 @@ ops over ``(frames, mics, bins)`` here. Everything is a pure function of
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -40,6 +40,144 @@ def istft(y_spec, engine: EngineConfig, window):
     return synthesize(y_spec, engine.hop, window)
 
 
+# ---------------------------------------------------------------------------
+# Extended rFFT ("shadow bin") layout.
+#
+# The reference's frequency vector is NOT mirror-symmetric: f[N/2-1] is
+# overwritten to fs/2 while its mirror f[N/2+1] keeps -(N/2-1)fs/N, and
+# f[N/2] reads 0 (util.h:190-199 + the uninitialised malloc slot). Steering
+# weights built from it are therefore non-Hermitian at exactly one bin pair,
+# and every other per-bin computation in every node is conjugation-
+# equivariant (magnitudes, wrapped phase distances, MCRA power recursions,
+# R-solves with conjugated history). So instead of the reference's full
+# N-point complex FFT we run rFFT bins 0..N/2 PLUS one shadow bin — the
+# mirror of bin N/2-1, fed conj(X[N/2-1]) and steered with f[N/2+1] — and
+# fold at synthesis:  y_final[N/2-1] = (y[N/2-1] + conj(y_shadow))/2,
+# Re() on bins 0 and N/2 (what real(ifft(.)) does to the Hermitian part).
+# Half the FFT work and half the bin math, bit-equivalent output.
+#
+# Layout: NB = N/2 + 2 bins; index k <= N/2 is rFFT bin k; index N/2+1 is
+# the shadow.
+# ---------------------------------------------------------------------------
+
+
+def ext_bins(nfft: int) -> int:
+    return nfft // 2 + 2
+
+
+def use_mxu_fft(engine: EngineConfig) -> bool:
+    """Pick the matmul (MXU) FFT on TPU backends where it beats XLA's FFT
+    lowering by ~3x; keep XLA's FFT on CPU and for float64."""
+    if engine.dtype == "float64":
+        return False
+    n = engine.fft_win
+    if n % 128 != 0 or (n // 128) % 2 != 0:
+        return False
+    try:
+        import jax
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def _rfft(frames, engine: EngineConfig):
+    if use_mxu_fft(engine):
+        from beamform_tpu.kernels.mxu_fft import rfft_mxu
+        return rfft_mxu(frames)
+    return jnp.fft.rfft(frames, axis=-1)
+
+
+def _irfft(y_r, engine: EngineConfig):
+    if use_mxu_fft(engine):
+        from beamform_tpu.kernels.mxu_fft import irfft_mxu
+        return irfft_mxu(y_r, engine.fft_win)
+    return jnp.fft.irfft(y_r, n=engine.fft_win, axis=-1)
+
+
+def make_freqs_ext(engine: EngineConfig) -> np.ndarray:
+    """Frequency vector in the extended layout (faithful quirks included)."""
+    f = frequency_vector(engine.fft_win, engine.sample_rate,
+                         exact=engine.exact_freqs)
+    n = engine.fft_win
+    return np.concatenate([f[:n // 2 + 1], f[n // 2 + 1:n // 2 + 2]])
+
+
+def stft_ext(x, engine: EngineConfig, window, cdtype):
+    """(M, S) -> (T, M, NB) spectra in the extended rFFT layout."""
+    from beamform_tpu.dsp.wola import frame_signal
+    frames = frame_signal(x, engine.hop) * jnp.asarray(window,
+                                                       dtype=x.dtype)
+    spec = _rfft(frames, engine).astype(cdtype)           # (M, T, N/2+1)
+    h = engine.fft_win // 2
+    shadow = jnp.conj(spec[..., h - 1:h])
+    spec = jnp.concatenate([spec, shadow], axis=-1)       # (M, T, NB)
+    return jnp.moveaxis(spec, 0, 1)
+
+
+def fold_ext(y_ext, nfft: int):
+    """(..., NB) extended-layout bins -> (..., N/2+1) Hermitian rFFT bins."""
+    h = nfft // 2
+    y_r = y_ext[..., :h + 1]
+    blend = 0.5 * (y_ext[..., h - 1] + jnp.conj(y_ext[..., h + 1]))
+    y_r = y_r.at[..., h - 1].set(blend)
+    # real(ifft(.)) keeps only Re of the self-conjugate bins
+    y_r = y_r.at[..., 0].set(y_r[..., 0].real.astype(y_r.dtype))
+    return y_r.at[..., h].set(y_r[..., h].real.astype(y_r.dtype))
+
+
+def istft_ext(y_ext, engine: EngineConfig, window):
+    """(T, NB) extended-layout spectra -> (T*hop,) real output stream."""
+    from beamform_tpu.dsp.wola import overlap_add
+    y_r = fold_ext(y_ext, engine.fft_win)
+    p = _irfft(y_r, engine)
+    win = jnp.asarray(window, dtype=p.dtype)
+    return overlap_add(p * win, engine.hop)
+
+
+# ---------------------------------------------------------------------------
+# Streaming carries: the WOLA boundary state between chunks — the functional
+# replacement for the reference's persistent JACK ring buffers and
+# double-buffered output windows (util.h:265-287). A whole-file run is just
+# one chunk with a zero carry, so online == offline by construction.
+# ---------------------------------------------------------------------------
+
+
+class WolaCarry(NamedTuple):
+    tail: jnp.ndarray       # (..., hop): last hop of input (ring content)
+    out_prev: jnp.ndarray   # (..., hop): previous processed half-window
+
+
+def wola_carry_init(engine: EngineConfig, num_mics: int, rdtype,
+                    per_mic_out: bool = False) -> WolaCarry:
+    h = engine.hop
+    out_shape = (num_mics, h) if per_mic_out else (h,)
+    return WolaCarry(jnp.zeros((num_mics, h), dtype=rdtype),
+                     jnp.zeros(out_shape, dtype=rdtype))
+
+
+def stft_ext_carry(x, engine: EngineConfig, window, cdtype, tail):
+    """Streaming stft_ext: (M, C*hop) + tail (M, hop) ->
+    ((T, M, NB) spectra, new_tail)."""
+    from beamform_tpu.dsp.wola import frame_signal_carry
+    frames, new_tail = frame_signal_carry(x, engine.hop, tail)
+    frames = frames * jnp.asarray(window, dtype=x.dtype)
+    spec = _rfft(frames, engine).astype(cdtype)
+    h = engine.fft_win // 2
+    shadow = jnp.conj(spec[..., h - 1:h])
+    spec = jnp.concatenate([spec, shadow], axis=-1)
+    return jnp.moveaxis(spec, 0, 1), new_tail
+
+
+def istft_ext_carry(y_ext, engine: EngineConfig, window, out_prev):
+    """Streaming istft_ext: (T, NB) + out_prev (hop,) ->
+    ((T*hop,) stream, new_out_prev)."""
+    from beamform_tpu.dsp.wola import overlap_add_carry
+    y_r = fold_ext(y_ext, engine.fft_win)
+    p = _irfft(y_r, engine)
+    win = jnp.asarray(window, dtype=p.dtype)
+    return overlap_add_carry(p * win, engine.hop, out_prev)
+
+
 def band_mask(freqs: np.ndarray, fmin: float, fmax: float) -> np.ndarray:
     """Static in-band bin mask: fmin <= |f| <= fmax over the (quirky)
     full-length frequency vector (mvdr.cpp:84,109). Bin 0 is handled
@@ -49,12 +187,12 @@ def band_mask(freqs: np.ndarray, fmin: float, fmax: float) -> np.ndarray:
     return m
 
 
-def mag_mean_over_mics(x_spec):
-    """(..., M, N) -> (..., N): mean |X| over mics / nfft, the energy-gate
-    statistic (mvdr.cpp:79-82: sum |X_i| / (M * fft_win))."""
+def mag_mean_over_mics(x_spec, nfft: int):
+    """(..., M, NB) -> (..., NB): mean |X| over mics / nfft, the energy-gate
+    statistic (mvdr.cpp:79-82: sum |X_i| / (M * fft_win)). ``nfft`` is the
+    true FFT length, independent of the bin-layout width."""
     m = x_spec.shape[-2]
-    n = x_spec.shape[-1]
-    return jnp.sum(jnp.abs(x_spec), axis=-2) / (m * n)
+    return jnp.sum(jnp.abs(x_spec), axis=-2) / (m * nfft)
 
 
 def frame_weights(geom: ArrayGeometry, freqs, theta_frames, rdtype,
@@ -69,14 +207,41 @@ def frame_weights(geom: ArrayGeometry, freqs, theta_frames, rdtype,
                             row0_scale=row0_scale)
 
 
-def unique_theta_weights(geom, freqs, theta_frames, rdtype, row0_scale=1.0):
-    """Memory-saving path: weights for the unique thetas only, plus an index
-    per frame. Host-side; theta timelines are concrete control inputs."""
+def unique_thetas(theta_frames):
+    """Host-side: (unique thetas (U,) rdtype-ready, per-frame index (T,))."""
     th = np.atleast_1d(np.asarray(theta_frames, dtype=np.float64))
     uniq, inv = np.unique(th, return_inverse=True)
-    w = frame_weights(geom, freqs, jnp.asarray(uniq), rdtype,
-                      row0_scale=row0_scale)  # (U, M, N)
-    return w, jnp.asarray(inv, dtype=jnp.int32)
+    return uniq, np.asarray(inv, dtype=np.int32)
+
+
+def weights_for_thetas(geom: ArrayGeometry, freqs, thetas, rdtype, cdtype,
+                       row0_scale=1.0):
+    """Traced steering weights for a (U,) theta array -> (U, M, NB).
+
+    Meant to run INSIDE a jit: on a tunneled TPU backend, complex arrays
+    can't be transferred host<->device, and un-jitted op chains pay a
+    dispatch round-trip each — computing weights in-graph avoids both and
+    lets XLA fuse them into the consumer.
+    """
+    tau = steering_delays(geom, jnp.asarray(thetas, dtype=rdtype),
+                          dtype=rdtype)
+    return steering_weights(jnp.asarray(freqs, dtype=rdtype), tau,
+                            row0_scale=row0_scale).astype(cdtype)
+
+
+def unique_theta_weights(geom, freqs, theta_frames, rdtype, row0_scale=1.0):
+    """Memory-saving path: weights for the unique thetas only, plus an index
+    per frame. Computed host-side in numpy — theta timelines are concrete
+    control inputs, and a single small host->device transfer beats a chain
+    of un-jitted device ops (each one a dispatch round-trip on a tunneled
+    TPU)."""
+    from beamform_tpu.geometry import steering_delays_np, steering_weights_np
+    th = np.atleast_1d(np.asarray(theta_frames, dtype=np.float64))
+    uniq, inv = np.unique(th, return_inverse=True)
+    tau = steering_delays_np(geom, uniq)                    # (U, M)
+    w = steering_weights_np(freqs, tau, row0_scale=row0_scale)  # (U, M, N)
+    np_c = np.complex128 if rdtype == jnp.float64 else np.complex64
+    return w.astype(np_c), np.asarray(inv, dtype=np.int32)
 
 
 def prepare_input(x, engine: EngineConfig, rdtype):

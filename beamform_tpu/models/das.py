@@ -5,13 +5,15 @@ steering weights w_m(f) = exp(-i 2 pi f tau_m), mic0 = 1 (das.cpp:27-45).
 
 TPU design: the whole run is one batched einsum over (frames, mics, bins) —
 the per-bin C++ loop becomes a single contraction the compiler fuses with the
-FFTs; a theta timeline enters as per-frame steering weights.
+FFTs; a theta timeline enters as per-frame steering weights computed
+in-graph. Streaming state is just the WOLA boundary carry.
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from beamform_tpu.config import DasParams, EngineConfig
 from beamform_tpu.geometry import ArrayGeometry
@@ -38,21 +40,35 @@ class DasModel:
                  params: DasParams = DasParams(), interference_angles=()):
         self.engine, self.geom, self.params = engine, geom, params
         self.rdtype, self.cdtype = common.dtypes_of(engine)
-        self.freqs = common.make_freqs(engine)
+        self.np_r = np.float64 if engine.dtype == "float64" else np.float32
+        self.freqs = common.make_freqs_ext(engine)
         self.window = common.make_window(engine, self.rdtype)
         self._jit = jax.jit(self._forward)
 
-    def _forward(self, x, w_uniq, w_idx):
-        x_spec = common.stft(x, self.engine, self.window, self.cdtype)
-        w = w_uniq[w_idx]  # (T, M, N)
-        y = das_spectral(x_spec, w)
-        return common.istft(y, self.engine, self.window)
+    def stream_init(self):
+        return common.wola_carry_init(self.engine, self.geom.num_mics,
+                                      self.rdtype)
+
+    def _forward(self, x, thetas, w_idx, carry: common.WolaCarry):
+        spec, tail = common.stft_ext_carry(x, self.engine, self.window,
+                                           self.cdtype, carry.tail)
+        w_uniq = common.weights_for_thetas(self.geom, self.freqs, thetas,
+                                           self.rdtype, self.cdtype)
+        y = das_spectral(spec, w_uniq[w_idx])
+        out, prev = common.istft_ext_carry(y, self.engine, self.window,
+                                           carry.out_prev)
+        return out, common.WolaCarry(tail, prev)
+
+    def process_chunk(self, x_chunk, theta, state):
+        """Streaming step: (M, C*hop) in, ((C*hop,) out, new state)."""
+        x = jnp.asarray(x_chunk, dtype=self.rdtype)
+        t = x.shape[-1] // self.engine.hop
+        th = common.theta_per_frame(theta, t)
+        uniq, w_idx = common.unique_thetas(th)
+        return self._jit(x, uniq.astype(self.np_r), w_idx, state)
 
     def process(self, x, theta=0.0):
         """x: (M, S) -> (S',) with S' = S rounded up to a hop multiple."""
         x = common.prepare_input(x, self.engine, self.rdtype)
-        t = x.shape[-1] // self.engine.hop
-        th = common.theta_per_frame(theta, t)
-        w_uniq, w_idx = common.unique_theta_weights(
-            self.geom, self.freqs, th, self.rdtype)
-        return self._jit(x, w_uniq.astype(self.cdtype), w_idx)
+        out, _ = self.process_chunk(x, theta, self.stream_init())
+        return out

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from beamform_tpu.config import EngineConfig, GscParams
 from beamform_tpu.geometry import ArrayGeometry
 from beamform_tpu.models import common
-from beamform_tpu.dsp.wola import overlap_add
+from beamform_tpu.dsp.wola import overlap_add, overlap_add_carry
 
 
 class GscState(NamedTuple):
@@ -81,40 +81,53 @@ class GscModel:
                  params: GscParams = GscParams(), interference_angles=()):
         self.engine, self.geom, self.params = engine, geom, params
         self.rdtype, self.cdtype = common.dtypes_of(engine)
-        self.freqs = common.make_freqs(engine)
+        import numpy as _np
+        self.np_r = _np.float64 if engine.dtype == "float64" else _np.float32
+        self.freqs = common.make_freqs_ext(engine)
         self.window = common.make_window(engine, self.rdtype)
         self._jit = jax.jit(self._forward)
 
-    def aligned_streams(self, x, w_uniq, w_idx):
-        """Stage 1: per-mic phase-aligned, WOLA-resynthesised streams.
-        x (M, S) -> (S, M)."""
-        x_spec = common.stft(x, self.engine, self.window, self.cdtype)
-        w = w_uniq[w_idx]                       # (T, M, N)
+    def stream_init(self):
+        return (common.wola_carry_init(self.engine, self.geom.num_mics,
+                                       self.rdtype, per_mic_out=True),
+                gsc_init_state(self.geom.num_mics, self.params.filter_size,
+                               self.rdtype))
+
+    def aligned_streams(self, x, thetas, w_idx, carry: common.WolaCarry):
+        """Stage 1: per-mic phase-aligned, WOLA-resynthesised streams
+        (the do_overlap_bymic path). x (M, C*hop) -> ((C*hop, M), carry)."""
+        x_spec, tail = common.stft_ext_carry(x, self.engine, self.window,
+                                             self.cdtype, carry.tail)
+        w_uniq = common.weights_for_thetas(self.geom, self.freqs, thetas,
+                                           self.rdtype, self.cdtype)
+        w = w_uniq[w_idx]                       # (T, M, NB)
         aligned_spec = x_spec * jnp.conj(w)     # gsc.cpp:62-65
-        y = jnp.fft.ifft(aligned_spec, axis=-1).real  # (T, M, N)
+        y_r = common.fold_ext(aligned_spec, self.engine.fft_win)
+        y = common._irfft(y_r, self.engine)                     # (T, M, N)
         y = y * self.window
         y = jnp.moveaxis(y, 1, 0)               # (M, T, N)
-        streams = overlap_add(y, self.engine.hop)     # (M, S)
-        return jnp.moveaxis(streams, 0, 1)      # (S, M)
+        streams, prev = overlap_add_carry(y, self.engine.hop, carry.out_prev)
+        return (jnp.moveaxis(streams, 0, 1),    # (S, M)
+                common.WolaCarry(tail, prev))
 
-    def _forward(self, x, w_uniq, w_idx, state: GscState):
-        aligned = self.aligned_streams(x, w_uniq, w_idx)
+    def _forward(self, x, thetas, w_idx, state):
+        carry, gstate = state
+        aligned, carry = self.aligned_streams(x, thetas, w_idx, carry)
 
         def step(st, a_t):
             return gsc_sample_step(st, a_t, self.params)
 
-        state, out = jax.lax.scan(step, state, aligned)
-        return out, state
+        gstate, out = jax.lax.scan(step, gstate, aligned)
+        return out, (carry, gstate)
 
-    def process(self, x, theta=0.0, state: GscState = None,
-                return_state: bool = False):
-        x = common.prepare_input(x, self.engine, self.rdtype)
+    def process_chunk(self, x_chunk, theta, state):
+        x = jnp.asarray(x_chunk, dtype=self.rdtype)
         t = x.shape[-1] // self.engine.hop
         th = common.theta_per_frame(theta, t)
-        w_uniq, w_idx = common.unique_theta_weights(
-            self.geom, self.freqs, th, self.rdtype)
-        if state is None:
-            state = gsc_init_state(self.geom.num_mics,
-                                   self.params.filter_size, self.rdtype)
-        out, state = self._jit(x, w_uniq.astype(self.cdtype), w_idx, state)
-        return (out, state) if return_state else out
+        uniq, w_idx = common.unique_thetas(th)
+        return self._jit(x, uniq.astype(self.np_r), w_idx, state)
+
+    def process(self, x, theta=0.0):
+        x = common.prepare_input(x, self.engine, self.rdtype)
+        out, _ = self.process_chunk(x, theta, self.stream_init())
+        return out

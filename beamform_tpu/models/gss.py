@@ -62,7 +62,9 @@ class GssModel:
         self.engine, self.geom, self.params = engine, geom, params
         self.interf = tuple(interference_angles)
         self.rdtype, self.cdtype = common.dtypes_of(engine)
-        self.freqs = common.make_freqs(engine)
+        import numpy as _np
+        self.np_r = _np.float64 if engine.dtype == "float64" else _np.float32
+        self.freqs = common.make_freqs_ext(engine)
         self.window = common.make_window(engine, self.rdtype)
         # NB: unlike MVDR/LCMV, gss.cpp's bin loop starts at j=0 — no DC
         # special case (gss.cpp:110), so bin 0 obeys the band gate too.
@@ -71,26 +73,42 @@ class GssModel:
         self.ib = np.nonzero(mask)[0].astype(np.int32)
         self._jit = jax.jit(self._forward)
 
-    def _steering_for_thetas(self, thetas):
-        cs = [build_constraints(self.geom, self.freqs, th, self.interf,
-                                self.rdtype)[self.ib]
-              for th in np.atleast_1d(thetas)]
-        return jnp.stack(cs).astype(self.cdtype)    # (U, Nib, M, S)
+    def _steering_traced(self, thetas):
+        """A for each unique theta, computed in-graph: (U, Nib, M, S)."""
+        def one(th):
+            a = build_constraints(self.geom, self.freqs, th, self.interf,
+                                  self.rdtype)
+            return a[jnp.asarray(self.ib)].astype(self.cdtype)
+        return jax.vmap(one)(jnp.asarray(thetas, dtype=self.rdtype))
 
-    def _forward(self, x, a_uniq, w_idx):
+    def stream_init(self):
+        """The demixing state starts as zeros + prev_theta = NaN: the first
+        frame always 'resets' W to A^H(theta_0), which is exactly the
+        reference's startup init (gss.cpp:92-93 via update_weights)."""
+        s = len(self.interf) + 1
+        return (common.wola_carry_init(self.engine, self.geom.num_mics,
+                                       self.rdtype),
+                jnp.zeros((len(self.ib), s, self.geom.num_mics),
+                          dtype=self.cdtype),
+                jnp.asarray(jnp.nan, dtype=self.rdtype))
+
+    def _forward(self, x, thetas, w_idx, state):
         p = self.params
-        x_spec = common.stft(x, self.engine, self.window, self.cdtype)
-        mag = common.mag_mean_over_mics(x_spec)
+        carry, w0, prev_theta = state
+        a_uniq = self._steering_traced(thetas)
+        x_spec, tail = common.stft_ext_carry(x, self.engine, self.window,
+                                             self.cdtype, carry.tail)
+        mag = common.mag_mean_over_mics(x_spec, self.engine.fft_win)
         ib = jnp.asarray(self.ib)
         x_ib = x_spec[:, :, ib]
         mag_ib = mag[:, ib]
         a_h_uniq = jnp.conj(jnp.swapaxes(a_uniq, -1, -2))  # (U, Nib, S, M)
 
-        # theta changes reset W to A^H (gss.cpp:90-93 in update_weights);
-        # detect change points in the per-frame unique-theta index.
-        idx_prev = jnp.concatenate([w_idx[:1], w_idx[:-1]])
-        reset = w_idx != idx_prev
-        reset = reset.at[0].set(False)
+        # a theta change resets W to A^H (gss.cpp:90-93 in update_weights);
+        # detected on per-frame theta values, carried across chunks.
+        th_val = jnp.asarray(thetas, dtype=self.rdtype)[w_idx]
+        th_prev = jnp.concatenate([prev_theta[None], th_val[:-1]])
+        reset = th_val != th_prev
 
         def step(w_sep, inp):
             x_t, mag_t, u_t, reset_t = inp
@@ -101,18 +119,23 @@ class GssModel:
             y_t = jnp.where(gate, y_sep, x_t[0, :] * 0.01)
             return w_new, y_t
 
-        w0 = a_h_uniq[0]
-        _, y_ib = jax.lax.scan(step, w0, (x_ib, mag_ib, w_idx, reset))
+        w_out, y_ib = jax.lax.scan(step, w0, (x_ib, mag_ib, w_idx, reset))
 
         y = jnp.zeros((x_spec.shape[0], x_spec.shape[2]), dtype=self.cdtype)
         y = y.at[:, ib].set(y_ib)
-        out = common.istft(y, self.engine, self.window)
-        return out * p.out_amp
+        out, prev = common.istft_ext_carry(y, self.engine, self.window,
+                                           carry.out_prev)
+        new_state = (common.WolaCarry(tail, prev), w_out, th_val[-1])
+        return out * p.out_amp, new_state
+
+    def process_chunk(self, x_chunk, theta, state):
+        x = jnp.asarray(x_chunk, dtype=self.rdtype)
+        t = x.shape[-1] // self.engine.hop
+        th = common.theta_per_frame(theta, t)
+        uniq, w_idx = common.unique_thetas(th)
+        return self._jit(x, uniq.astype(self.np_r), w_idx, state)
 
     def process(self, x, theta=0.0):
         x = common.prepare_input(x, self.engine, self.rdtype)
-        t = x.shape[-1] // self.engine.hop
-        th = common.theta_per_frame(theta, t)
-        uniq, inv = np.unique(th, return_inverse=True)
-        a_uniq = self._steering_for_thetas(uniq)
-        return self._jit(x, a_uniq, jnp.asarray(inv, dtype=jnp.int32))
+        out, _ = self.process_chunk(x, theta, self.stream_init())
+        return out

@@ -57,6 +57,22 @@ def build_constraints(geom: ArrayGeometry, freqs, theta, interf_angles,
                            row0_scale=row0_scale, active_mask=active_mask)
 
 
+def build_constraints_np(geom: ArrayGeometry, freqs, theta, interf_angles,
+                         *, row0_scale=1.0,
+                         active_mask=None) -> np.ndarray:
+    """Host-side constraint matrix C (K_bins, M, S): column 0 is the DOI,
+    columns 1..K the interferences (lcmv.cpp:44-86)."""
+    from beamform_tpu.geometry import steering_delays_np, steering_weights_np
+    angles = np.concatenate([[float(theta)],
+                             np.asarray(interf_angles, dtype=np.float64)])
+    tau = steering_delays_np(geom, angles)                 # (S, M)
+    w = steering_weights_np(freqs, tau, row0_scale=row0_scale)  # (S, M, K)
+    c = np.transpose(w, (2, 1, 0))                          # (K_bins, M, S)
+    if active_mask is not None:
+        c = c * np.asarray(active_mask)[None, None, :]
+    return c
+
+
 class LcmvModel:
     name = "lcmv"
 
@@ -65,23 +81,36 @@ class LcmvModel:
         self.engine, self.geom, self.params = engine, geom, params
         self.interf = tuple(interference_angles)
         self.rdtype, self.cdtype = common.dtypes_of(engine)
-        self.freqs = common.make_freqs(engine)
+        import numpy as _np
+        self.np_r = _np.float64 if engine.dtype == "float64" else _np.float32
+        self.freqs = common.make_freqs_ext(engine)
         self.window = common.make_window(engine, self.rdtype)
         mask = common.band_mask(self.freqs, params.freq_min, params.freq_max)
         self.ib = np.nonzero(mask)[0].astype(np.int32)
         self._jit = jax.jit(self._forward)
 
-    def _constraints_for_thetas(self, thetas):
-        cs = [build_constraints(self.geom, self.freqs, th, self.interf,
-                                self.rdtype)[self.ib]
-              for th in np.atleast_1d(thetas)]
-        return jnp.stack(cs).astype(self.cdtype)   # (U, Nib, M, S)
+    def _constraints_traced(self, thetas):
+        """C for each unique theta, computed in-graph: (U, Nib, M, S)."""
+        def one(th):
+            c = build_constraints(self.geom, self.freqs, th, self.interf,
+                                  self.rdtype)
+            return c[jnp.asarray(self.ib)].astype(self.cdtype)
+        return jax.vmap(one)(jnp.asarray(thetas, dtype=self.rdtype))
 
-    def _forward(self, x, c_uniq, w_idx):
+    def stream_init(self):
+        return (common.wola_carry_init(self.engine, self.geom.num_mics,
+                                       self.rdtype),
+                jnp.zeros((self.params.past_windows, self.geom.num_mics,
+                           len(self.ib)), dtype=self.cdtype))
+
+    def _forward(self, x, thetas, w_idx, state):
         p = self.params
+        carry, hist0 = state
+        c_uniq = self._constraints_traced(thetas)
         m = self.geom.num_mics
-        x_spec = common.stft(x, self.engine, self.window, self.cdtype)
-        mag = common.mag_mean_over_mics(x_spec)
+        x_spec, tail = common.stft_ext_carry(x, self.engine, self.window,
+                                             self.cdtype, carry.tail)
+        mag = common.mag_mean_over_mics(x_spec, self.engine.fft_win)
         ib = jnp.asarray(self.ib)
         x_ib = x_spec[:, :, ib]
         mag_ib = mag[:, ib]
@@ -99,20 +128,23 @@ class LcmvModel:
             hist = jnp.concatenate([hist[1:], x_t[None]], axis=0)
             return hist, y_t
 
-        hist0 = jnp.zeros((p.past_windows, m, len(self.ib)),
-                          dtype=self.cdtype)
-        _, y_ib = jax.lax.scan(step, hist0, (x_ib, mag_ib, w_idx))
+        hist, y_ib = jax.lax.scan(step, hist0, (x_ib, mag_ib, w_idx))
 
         y = jnp.zeros((x_spec.shape[0], x_spec.shape[2]), dtype=self.cdtype)
         y = y.at[:, ib].set(y_ib)
         y = y.at[:, 0].set(x_spec[:, 0, 0])
-        out = common.istft(y, self.engine, self.window)
-        return out * p.out_amp
+        out, prev = common.istft_ext_carry(y, self.engine, self.window,
+                                           carry.out_prev)
+        return out * p.out_amp, (common.WolaCarry(tail, prev), hist)
+
+    def process_chunk(self, x_chunk, theta, state):
+        x = jnp.asarray(x_chunk, dtype=self.rdtype)
+        t = x.shape[-1] // self.engine.hop
+        th = common.theta_per_frame(theta, t)
+        uniq, w_idx = common.unique_thetas(th)
+        return self._jit(x, uniq.astype(self.np_r), w_idx, state)
 
     def process(self, x, theta=0.0):
         x = common.prepare_input(x, self.engine, self.rdtype)
-        t = x.shape[-1] // self.engine.hop
-        th = common.theta_per_frame(theta, t)
-        uniq, inv = np.unique(th, return_inverse=True)
-        c_uniq = self._constraints_for_thetas(uniq)
-        return self._jit(x, c_uniq, jnp.asarray(inv, dtype=jnp.int32))
+        out, _ = self.process_chunk(x, theta, self.stream_init())
+        return out

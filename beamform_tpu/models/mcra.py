@@ -43,10 +43,16 @@ def mcra_init_state(nfft: int, rdtype) -> McraState:
 
 
 def freq_smooth(sq, dc_amp):
-    """3-tap smoothing skipping DC (mcra.cpp:83-92).
+    """3-tap smoothing skipping DC (mcra.cpp:83-92), extended-bin layout.
 
     S_f[j] = 0.25*sq[j-1] (if j-1 >= 1) + 0.5*sq[j] + 0.25*sq[j+1]
     (if j+1 < N) for j >= 1; S_f[0] = dc_amp (an amplitude, not a power).
+
+    In the extended layout (NB = N/2+2, shadow at NB-1 = mirror of N/2-1)
+    the stencil is naturally correct through bin N/2 (its full-layout right
+    neighbour N/2+1 has |X| equal to bin N/2-1, which is exactly what the
+    shadow slot holds); the shadow's own smoothed value equals the mirror's
+    by symmetry, set explicitly.
     """
     n = sq.shape[-1]
     left = jnp.concatenate([jnp.zeros_like(sq[..., :2]), sq[..., 1:n - 1]],
@@ -54,6 +60,7 @@ def freq_smooth(sq, dc_amp):
     right = jnp.concatenate([sq[..., 1:], jnp.zeros_like(sq[..., :1])],
                             axis=-1)         # sq[j+1] valid for j <= N-2
     s_f = 0.25 * left + 0.5 * sq + 0.25 * right
+    s_f = s_f.at[..., n - 1].set(s_f[..., n - 3])  # shadow := mirror value
     return s_f.at[..., 0].set(dc_amp)
 
 
@@ -88,10 +95,12 @@ class McraModel:
         self.window = common.make_window(engine, self.rdtype)
         self._jit = jax.jit(self._forward)
 
-    def _forward(self, x):
+    def _forward(self, x, state):
         p = self.params
-        x_spec = common.stft(x[:1], self.engine, self.window,
-                             self.cdtype)[:, 0, :]   # (T, N) mic0 only
+        carry, mstate = state
+        spec, tail = common.stft_ext_carry(x[:1], self.engine, self.window,
+                                           self.cdtype, carry.tail)
+        x_spec = spec[:, 0, :]                          # (T, NB) mic0 only
         sq = jnp.abs(x_spec) ** 2
         s_f = freq_smooth(sq, jnp.abs(x_spec[..., 0]))
 
@@ -108,10 +117,21 @@ class McraModel:
                   else x_t[0])
             return state, y.at[0].set(dc)
 
-        init = mcra_init_state(self.engine.fft_win, self.rdtype)
-        _, y = jax.lax.scan(step, init, (s_f, sq, x_spec))
-        return common.istft(y, self.engine, self.window)
+        mstate, y = jax.lax.scan(step, mstate, (s_f, sq, x_spec))
+        out, prev = common.istft_ext_carry(y, self.engine, self.window,
+                                           carry.out_prev)
+        return out, (common.WolaCarry(tail, prev), mstate)
+
+    def stream_init(self):
+        return (common.wola_carry_init(self.engine, 1, self.rdtype),
+                mcra_init_state(common.ext_bins(self.engine.fft_win),
+                                self.rdtype))
+
+    def process_chunk(self, x_chunk, theta, state):
+        x = jnp.asarray(x_chunk, dtype=self.rdtype)
+        return self._jit(x, state)
 
     def process(self, x, theta=0.0):
         x = common.prepare_input(x, self.engine, self.rdtype)
-        return self._jit(x)
+        out, _ = self.process_chunk(x, theta, self.stream_init())
+        return out

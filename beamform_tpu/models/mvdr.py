@@ -54,18 +54,30 @@ class MvdrModel:
                  params: MvdrParams = MvdrParams(), interference_angles=()):
         self.engine, self.geom, self.params = engine, geom, params
         self.rdtype, self.cdtype = common.dtypes_of(engine)
-        self.freqs = common.make_freqs(engine)
+        import numpy as _np
+        self.np_r = _np.float64 if engine.dtype == "float64" else _np.float32
+        self.freqs = common.make_freqs_ext(engine)
         self.window = common.make_window(engine, self.rdtype)
         mask = common.band_mask(self.freqs, params.freq_min, params.freq_max)
         self.ib = np.nonzero(mask)[0].astype(np.int32)   # in-band bin indices
         self._jit = jax.jit(self._forward)
 
-    def _forward(self, x, w_uniq, w_idx):
+    def stream_init(self):
+        return (common.wola_carry_init(self.engine, self.geom.num_mics,
+                                       self.rdtype),
+                jnp.zeros((self.params.past_windows, self.geom.num_mics,
+                           len(self.ib)), dtype=self.cdtype))
+
+    def _forward(self, x, thetas, w_idx, state):
         p = self.params
         m = self.geom.num_mics
         n = self.engine.fft_win
-        x_spec = common.stft(x, self.engine, self.window, self.cdtype)
-        mag = common.mag_mean_over_mics(x_spec)            # (T, N)
+        carry, hist0 = state
+        x_spec, tail = common.stft_ext_carry(x, self.engine, self.window,
+                                             self.cdtype, carry.tail)
+        w_uniq = common.weights_for_thetas(self.geom, self.freqs, thetas,
+                                           self.rdtype, self.cdtype)
+        mag = common.mag_mean_over_mics(x_spec, n)         # (T, NB)
         ib = jnp.asarray(self.ib)
         x_ib = x_spec[:, :, ib]                            # (T, M, Nib)
         mag_ib = mag[:, ib]
@@ -85,20 +97,24 @@ class MvdrModel:
             hist = jnp.concatenate([hist[1:], x_t[None]], axis=0)
             return hist, y_t
 
-        hist0 = jnp.zeros((p.past_windows, m, len(self.ib)),
-                          dtype=self.cdtype)
-        _, y_ib = jax.lax.scan(step, hist0, (x_ib, mag_ib, w_idx))
+        hist, y_ib = jax.lax.scan(step, hist0, (x_ib, mag_ib, w_idx))
 
-        y = jnp.zeros(x_spec.shape[::2], dtype=self.cdtype)  # (T, N)
+        y = jnp.zeros((x_spec.shape[0], x_spec.shape[2]),
+                      dtype=self.cdtype)                      # (T, NB)
         y = y.at[:, ib].set(y_ib)
         y = y.at[:, 0].set(x_spec[:, 0, 0])                   # mvdr.cpp:76
-        out = common.istft(y, self.engine, self.window)
-        return out * p.out_amp
+        out, prev = common.istft_ext_carry(y, self.engine, self.window,
+                                           carry.out_prev)
+        return out * p.out_amp, (common.WolaCarry(tail, prev), hist)
+
+    def process_chunk(self, x_chunk, theta, state):
+        x = jnp.asarray(x_chunk, dtype=self.rdtype)
+        t = x.shape[-1] // self.engine.hop
+        th = common.theta_per_frame(theta, t)
+        uniq, w_idx = common.unique_thetas(th)
+        return self._jit(x, uniq.astype(self.np_r), w_idx, state)
 
     def process(self, x, theta=0.0):
         x = common.prepare_input(x, self.engine, self.rdtype)
-        t = x.shape[-1] // self.engine.hop
-        th = common.theta_per_frame(theta, t)
-        w_uniq, w_idx = common.unique_theta_weights(
-            self.geom, self.freqs, th, self.rdtype)
-        return self._jit(x, w_uniq.astype(self.cdtype), w_idx)
+        out, _ = self.process_chunk(x, theta, self.stream_init())
+        return out

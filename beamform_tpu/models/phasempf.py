@@ -74,11 +74,15 @@ def dual_beam(x_spec, weights, min_phase_rad, min_mag, ia, ib):
 
 def buggy_freq_smooth(soi_sq, dc_amp):
     """phasempf.cpp:144-153 — the [j]-instead-of-[this_j] variant: each bin
-    scaled by the sum of in-range kernel coefficients."""
+    scaled by the sum of in-range kernel coefficients.
+
+    Extended-layout note: full-layout bin 1 and its mirror N-1 both get
+    scale 0.75; here bin 1 carries both. The shadow bin (mirror of N/2-1)
+    is interior in the full layout, so scale 1.0.
+    """
     n = soi_sq.shape[-1]
     scale = jnp.ones((n,), dtype=soi_sq.dtype)
     scale = scale.at[1].set(0.75)       # left tap (this_j=0) out of range
-    scale = scale.at[n - 1].set(0.75)   # right tap (this_j=n) out of range
     s_f = soi_sq * scale
     return s_f.at[..., 0].set(dc_amp)
 
@@ -94,6 +98,16 @@ def moving_average_causal(y, size: int):
     return jnp.convolve(yp, kernel, mode="valid")
 
 
+def moving_average_causal_carry(y, size: int, tail):
+    """Streaming variant: ``tail`` is the previous (size-1,) samples.
+    Returns (smoothed, new_tail)."""
+    if size <= 1:
+        return y, tail
+    yp = jnp.concatenate([jnp.asarray(tail, dtype=y.dtype), y])
+    kernel = jnp.full((size,), 1.0 / size, dtype=y.dtype)
+    return jnp.convolve(yp, kernel, mode="valid"), yp[-(size - 1):]
+
+
 class PhasempfModel:
     name = "phasempf"
 
@@ -102,14 +116,29 @@ class PhasempfModel:
                  interference_angles=()):
         self.engine, self.geom, self.params = engine, geom, params
         self.rdtype, self.cdtype = common.dtypes_of(engine)
-        self.freqs = common.make_freqs(engine)
+        import numpy as _np
+        self.np_r = _np.float64 if engine.dtype == "float64" else _np.float32
+        self.freqs = common.make_freqs_ext(engine)
         self.window = common.make_window(engine, self.rdtype)
         self.ia, self.ib = pair_indices(geom.num_mics)
         self._jit = jax.jit(self._forward)
 
-    def _forward(self, x, w_uniq, w_idx):
+    def stream_init(self):
+        smooth_tail = jnp.zeros((max(self.params.smooth_size - 1, 0),),
+                                dtype=self.rdtype)
+        return (common.wola_carry_init(self.engine, self.geom.num_mics,
+                                       self.rdtype),
+                mpf_init_state(common.ext_bins(self.engine.fft_win),
+                               self.rdtype),
+                smooth_tail)
+
+    def _forward(self, x, thetas, w_idx, state):
         p = self.params
-        x_spec = common.stft(x, self.engine, self.window, self.cdtype)
+        carry, mstate, smooth_tail = state
+        x_spec, tail = common.stft_ext_carry(x, self.engine, self.window,
+                                             self.cdtype, carry.tail)
+        w_uniq = common.weights_for_thetas(self.geom, self.freqs, thetas,
+                                           self.rdtype, self.cdtype)
         w = w_uniq[w_idx]
         min_phase_rad = p.min_phase * np.pi / 180.0
         soi, intf = dual_beam(x_spec, w, min_phase_rad, p.min_mag,
@@ -164,15 +193,21 @@ class PhasempfModel:
                            current_l, first_l)
             return new, y.at[0].set(dc)
 
-        init = mpf_init_state(self.engine.fft_win, self.rdtype)
-        _, y = jax.lax.scan(step, init, (s_f, soi_sq, int_sq, soi))
-        out = common.istft(y, self.engine, self.window)
-        return moving_average_causal(out, p.smooth_size)
+        mstate, y = jax.lax.scan(step, mstate, (s_f, soi_sq, int_sq, soi))
+        out, prev = common.istft_ext_carry(y, self.engine, self.window,
+                                           carry.out_prev)
+        out, smooth_tail = moving_average_causal_carry(out, p.smooth_size,
+                                                       smooth_tail)
+        return out, (common.WolaCarry(tail, prev), mstate, smooth_tail)
+
+    def process_chunk(self, x_chunk, theta, state):
+        x = jnp.asarray(x_chunk, dtype=self.rdtype)
+        t = x.shape[-1] // self.engine.hop
+        th = common.theta_per_frame(theta, t)
+        uniq, w_idx = common.unique_thetas(th)
+        return self._jit(x, uniq.astype(self.np_r), w_idx, state)
 
     def process(self, x, theta=0.0):
         x = common.prepare_input(x, self.engine, self.rdtype)
-        t = x.shape[-1] // self.engine.hop
-        th = common.theta_per_frame(theta, t)
-        w_uniq, w_idx = common.unique_theta_weights(
-            self.geom, self.freqs, th, self.rdtype)
-        return self._jit(x, w_uniq.astype(self.cdtype), w_idx)
+        out, _ = self.process_chunk(x, theta, self.stream_init())
+        return out

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from beamform_tpu.config import DasParams, EngineConfig
 from beamform_tpu.geometry import ArrayGeometry
 from beamform_tpu.models import common
-from beamform_tpu.dsp.wola import frame_signal, overlap_add
+from beamform_tpu.dsp.wola import frame_signal_carry, overlap_add_carry
 
 
 class RefModel:
@@ -30,14 +30,27 @@ class RefModel:
         self.window = common.make_window(engine, self.rdtype)
         self._jit = jax.jit(self._forward)
 
-    def _forward(self, x):
-        frames = frame_signal(x[0], self.engine.hop)     # (T, 2h)
+    def stream_init(self):
+        h = self.engine.hop
+        return common.WolaCarry(jnp.zeros((h,), dtype=self.rdtype),
+                                jnp.zeros((h,), dtype=self.rdtype))
+
+    def _forward(self, x, carry: common.WolaCarry):
+        frames, tail = frame_signal_carry(x[0], self.engine.hop, carry.tail)
         p = frames * self.window * self.window           # hann^2, no FFT
-        return overlap_add(p, self.engine.hop)
+        out, prev = overlap_add_carry(p, self.engine.hop, carry.out_prev)
+        return out, common.WolaCarry(tail, prev)
+
+    def process_chunk(self, x_chunk, theta, state):
+        x = jnp.asarray(x_chunk, dtype=self.rdtype)
+        if x.ndim == 1:
+            x = x[None, :]
+        return self._jit(x, state)
 
     def process(self, x, theta=0.0):
         x = common.prepare_input(x, self.engine, self.rdtype)
-        return self._jit(x)
+        out, _ = self.process_chunk(x, theta, self.stream_init())
+        return out
 
 
 class ReadModel:
@@ -49,7 +62,10 @@ class ReadModel:
         self.rdtype, _ = common.dtypes_of(engine)
         self._jit = jax.jit(self._forward)
 
-    def _forward(self, x):
+    def stream_init(self):
+        return jnp.int32(-1)    # max_mic_past (jack_read.cpp:8)
+
+    def _forward(self, x, past):
         h = self.engine.hop
         m, s = x.shape
         wins = x.reshape(m, s // h, h)
@@ -65,11 +81,16 @@ class ReadModel:
                             jnp.where(first, jnp.int32(0), past))
             return idx, idx
 
-        _, picks = jax.lax.scan(step, jnp.int32(-1), energy)
+        past, picks = jax.lax.scan(step, past, energy)
         sel = jnp.take_along_axis(
             jnp.moveaxis(wins, 0, 1), picks[:, None, None], axis=1)
-        return sel[:, 0, :].reshape(-1)
+        return sel[:, 0, :].reshape(-1), past
+
+    def process_chunk(self, x_chunk, theta, state):
+        x = jnp.asarray(x_chunk, dtype=self.rdtype)
+        return self._jit(x, state)
 
     def process(self, x, theta=0.0):
         x = common.prepare_input(x, self.engine, self.rdtype)
-        return self._jit(x)
+        out, _ = self.process_chunk(x, theta, self.stream_init())
+        return out

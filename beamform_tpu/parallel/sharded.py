@@ -139,7 +139,7 @@ def sharded_training_step(mesh: Mesh, engine: EngineConfig, params,
         frames = frame_signal(xb, engine.hop) * window
         spec = jnp.moveaxis(_fft_last(frames.astype(cdtype)), 1, 2)
         spec = _constraint(spec, mesh, P("stream", None, None, "bin"))
-        mag = common.mag_mean_over_mics(spec)             # (B, T, N)
+        mag = common.mag_mean_over_mics(spec, engine.fft_win)  # (B, T, N)
 
         a_mat = jnp.swapaxes(w, 0, 1)[:, :, None]         # (N, M, 1) DOI col
         s_src = state.shape[-2]
