@@ -31,24 +31,34 @@ from beamform_tpu.models import common
 from beamform_tpu.models.lcmv import build_constraints
 
 
-def gss_update(w_sep, a_mat, a_h, x, gate, mu, lam):
+def gss_update(w_sep, a_mat, a_h, x, gate, mu, lam, active_ext=None):
     """One GSS step over all carried bins.
 
     w_sep (Nib, S, M); a_mat (Nib, M, S); a_h (Nib, S, M); x (M, Nib);
-    gate (Nib,) bool. Returns (new_w, y_first_source (Nib,)).
+    gate (Nib,) bool. ``active_ext`` (S,) 0/1 masks source slots for the
+    fixed-capacity dynamic-interference design: inactive slots have zero
+    steering columns and zero demixing rows, the identity in dJ2 becomes
+    diag(active_ext), and the source count S in the gradient constants is
+    the ACTIVE count (gss.cpp:132-133 uses interference_angles.size()+1).
+    Returns (new_w, y_first_source (Nib,)).
     """
-    s = w_sep.shape[-2]
+    s_cap = w_sep.shape[-2]
+    if active_ext is None:
+        eye_s = jnp.eye(s_cap, dtype=w_sep.dtype)
+        s_act = jnp.asarray(float(s_cap), dtype=x.real.dtype)
+    else:
+        eye_s = jnp.diag(active_ext).astype(w_sep.dtype)
+        s_act = jnp.sum(active_ext).astype(x.real.dtype)
     xt = jnp.moveaxis(x, 0, -1)                          # (Nib, M)
     yf = jnp.einsum("nsm,nm->ns", w_sep, xt)             # (Nib, S)
     e = jnp.einsum("ns,nk->nsk", yf, jnp.conj(yf))
-    eye_s = jnp.eye(s, dtype=w_sep.dtype)
-    e = e * (1.0 - eye_s)                                # zero diagonal
+    e = e * (1.0 - jnp.eye(s_cap, dtype=w_sep.dtype))    # zero diagonal
     alpha = jnp.sum(jnp.abs(xt) ** 2, axis=-1) ** 2      # (Nib,)
     ey = jnp.einsum("nsk,nk->ns", e, yf)
-    dj1 = (4.0 * s) * jnp.einsum("ns,nm->nsm", ey, jnp.conj(xt))
+    dj1 = (4.0 * s_act) * jnp.einsum("ns,nm->nsm", ey, jnp.conj(xt))
     dj1 = dj1 / alpha[:, None, None].astype(w_sep.dtype)
     wa = jnp.einsum("nsm,nmk->nsk", w_sep, a_mat)
-    dj2 = (2.0 / s) * jnp.einsum("nsk,nkm->nsm", wa - eye_s, a_h)
+    dj2 = (2.0 / s_act) * jnp.einsum("nsk,nkm->nsm", wa - eye_s, a_h)
     w_new = (1.0 - lam * mu) * w_sep - mu * (dj1 + dj2)
     w_sep = jnp.where(gate[:, None, None], w_new, w_sep)
     return w_sep, yf[:, 0]
@@ -73,29 +83,37 @@ class GssModel:
         self.ib = np.nonzero(mask)[0].astype(np.int32)
         self._jit = jax.jit(self._forward)
 
-    def _steering_traced(self, thetas):
-        """A for each unique theta, computed in-graph: (U, Nib, M, S)."""
-        def one(th):
-            a = build_constraints(self.geom, self.freqs, th, self.interf,
-                                  self.rdtype)
-            return a[jnp.asarray(self.ib)].astype(self.cdtype)
-        return jax.vmap(one)(jnp.asarray(thetas, dtype=self.rdtype))
+    def _steering_traced(self, u_theta, u_angles, u_active, u_row0):
+        """A for each unique control row: (U, Nib, M, K+1), masked."""
+        from beamform_tpu.models.lcmv import build_constraints_masked
+
+        def one(th, ang, act, r0):
+            return build_constraints_masked(
+                self.geom, self.freqs, th, ang, act, r0,
+                self.rdtype, self.cdtype, jnp.asarray(self.ib))
+        return jax.vmap(one)(u_theta, u_angles, u_active, u_row0)
 
     def stream_init(self):
-        """The demixing state starts as zeros + prev_theta = NaN: the first
-        frame always 'resets' W to A^H(theta_0), which is exactly the
-        reference's startup init (gss.cpp:92-93 via update_weights)."""
-        s = len(self.interf) + 1
+        """Zero demixing state + prev_control = NaN: the first frame always
+        'resets' W to A^H (the reference's startup init, gss.cpp:92-93)."""
+        s = len(self.interf) + 1 if self._capacity is None \
+            else self._capacity + 1
         return (common.wola_carry_init(self.engine, self.geom.num_mics,
                                        self.rdtype),
                 jnp.zeros((len(self.ib), s, self.geom.num_mics),
                           dtype=self.cdtype),
                 jnp.asarray(jnp.nan, dtype=self.rdtype))
 
-    def _forward(self, x, thetas, w_idx, state):
+    _capacity = None  # set per run by _control_arrays for stream_init
+
+    def _forward(self, x, u_theta, u_angles, u_active, u_row0, idx,
+                 reset_extra, state):
         p = self.params
         carry, w0, prev_theta = state
-        a_uniq = self._steering_traced(thetas)
+        a_uniq = self._steering_traced(u_theta, u_angles, u_active, u_row0)
+        ones1 = jnp.ones((u_active.shape[0], 1), dtype=self.rdtype)
+        act_ext = jnp.concatenate(
+            [ones1, jnp.asarray(u_active, dtype=self.rdtype)], axis=1)
         x_spec, tail = common.stft_ext_carry(x, self.engine, self.window,
                                              self.cdtype, carry.tail)
         mag = common.mag_mean_over_mics(x_spec, self.engine.fft_win)
@@ -104,22 +122,22 @@ class GssModel:
         mag_ib = mag[:, ib]
         a_h_uniq = jnp.conj(jnp.swapaxes(a_uniq, -1, -2))  # (U, Nib, S, M)
 
-        # a theta change resets W to A^H (gss.cpp:90-93 in update_weights);
-        # detected on per-frame theta values, carried across chunks.
-        th_val = jnp.asarray(thetas, dtype=self.rdtype)[w_idx]
+        # any theta change or interference event resets W to A^H
+        # (update_weights, gss.cpp:90-93); carried across chunks.
+        th_val = jnp.asarray(u_theta, dtype=self.rdtype)[idx]
         th_prev = jnp.concatenate([prev_theta[None], th_val[:-1]])
-        reset = th_val != th_prev
+        reset = (th_val != th_prev) | reset_extra
 
         def step(w_sep, inp):
             x_t, mag_t, u_t, reset_t = inp
             w_sep = jnp.where(reset_t, a_h_uniq[u_t], w_sep)
             gate = mag_t > p.freq_mag_threshold
             w_new, y_sep = gss_update(w_sep, a_uniq[u_t], a_h_uniq[u_t],
-                                      x_t, gate, p.mu, p.lam)
+                                      x_t, gate, p.mu, p.lam, act_ext[u_t])
             y_t = jnp.where(gate, y_sep, x_t[0, :] * 0.01)
             return w_new, y_t
 
-        w_out, y_ib = jax.lax.scan(step, w0, (x_ib, mag_ib, w_idx, reset))
+        w_out, y_ib = jax.lax.scan(step, w0, (x_ib, mag_ib, idx, reset))
 
         y = jnp.zeros((x_spec.shape[0], x_spec.shape[2]), dtype=self.cdtype)
         y = y.at[:, ib].set(y_ib)
@@ -128,14 +146,34 @@ class GssModel:
         new_state = (common.WolaCarry(tail, prev), w_out, th_val[-1])
         return out * p.out_amp, new_state
 
-    def process_chunk(self, x_chunk, theta, state):
+    def _control_arrays(self, theta, t, interference):
+        from beamform_tpu.runtime.timeline import (
+            InterferenceTimeline, static_interference, unique_control_rows)
+        th = common.theta_per_frame(theta, t)
+        tl = interference
+        if tl is None:
+            tl = static_interference(t, self.interf)
+        self._capacity = tl.capacity
+        tl_t = InterferenceTimeline(tl.angles[:t], tl.active[:t],
+                                    tl.row0[:t], tl.reset[:t])
+        u_th, u_ang, u_act, u_r0, idx = unique_control_rows(th, tl_t)
+        return (u_th.astype(self.np_r), u_ang.astype(self.np_r),
+                u_act.astype(self.np_r), u_r0.astype(self.np_r), idx,
+                np.asarray(tl.reset[:t]))
+
+    def process_chunk(self, x_chunk, theta, state, interference=None):
         x = jnp.asarray(x_chunk, dtype=self.rdtype)
         t = x.shape[-1] // self.engine.hop
-        th = common.theta_per_frame(theta, t)
-        uniq, w_idx = common.unique_thetas(th)
-        return self._jit(x, uniq.astype(self.np_r), w_idx, state)
+        ctrl = self._control_arrays(theta, t, interference)
+        return self._jit(x, *ctrl, state)
 
-    def process(self, x, theta=0.0):
+    def process(self, x, theta=0.0, interference=None):
         x = common.prepare_input(x, self.engine, self.rdtype)
-        out, _ = self.process_chunk(x, theta, self.stream_init())
+        t = x.shape[-1] // self.engine.hop
+        if interference is not None:
+            self._capacity = interference.capacity
+        else:
+            self._capacity = None
+        out, _ = self.process_chunk(x, theta, self.stream_init(),
+                                    interference)
         return out

@@ -32,12 +32,21 @@ from beamform_tpu.models import common
 from beamform_tpu.models.mvdr import batched_inv, white_r
 
 
-def lcmv_solve(r, c):
+def lcmv_solve(r, c, inactive_diag=None):
     """w = R^-1 C (C^H R^-1 C)^-1, output column 0 (lcmv.cpp:116-119).
-    r (..., M, M); c (..., M, S) -> (..., M)."""
+    r (..., M, M); c (..., M, S) -> (..., M).
+
+    ``inactive_diag`` (S,): 1.0 for masked-out constraint slots. Their
+    columns of C are zero, so the inner matrix has zero rows/cols; adding an
+    identity on those slots makes it block-diagonal and the active block's
+    inverse (hence column 0 of w) is exactly the smaller problem's solution
+    — the fixed-capacity replacement for the reference's reallocation.
+    """
     inv = batched_inv(r)
     ric = jnp.einsum("...mk,...ks->...ms", inv, c)
     inner = jnp.einsum("...ms,...mk->...sk", jnp.conj(c), ric)
+    if inactive_diag is not None:
+        inner = inner + jnp.diag(inactive_diag.astype(inner.dtype))
     w_all = jnp.einsum("...ms,...sk->...mk", ric, batched_inv(inner))
     return w_all[..., 0]
 
@@ -55,6 +64,28 @@ def build_constraints(geom: ArrayGeometry, freqs, theta, interf_angles,
         taui = jnp.zeros((0, geom.num_mics), dtype=rdtype)
     return steering_matrix(jnp.asarray(freqs, dtype=rdtype), doi, taui,
                            row0_scale=row0_scale, active_mask=active_mask)
+
+
+def build_constraints_masked(geom: ArrayGeometry, freqs, theta,
+                             interf_angles, active, row0, rdtype, cdtype,
+                             ib):
+    """Traced masked constraint matrix for one control state.
+
+    theta scalar; interf_angles (K,); active (K,) 0/1; row0 scalar. Returns
+    (Nib, M, K+1) with inactive columns zeroed and the mic0 row scaled by
+    ``row0`` (the post-realloc quirk, lcmv.cpp:243-252 + update_weights).
+    """
+    from beamform_tpu.geometry import steering_delays, steering_weights
+    angles = jnp.concatenate([jnp.asarray(theta, dtype=rdtype)[None],
+                              jnp.asarray(interf_angles, dtype=rdtype)])
+    tau = steering_delays(geom, angles, dtype=rdtype)          # (K+1, M)
+    w = steering_weights(jnp.asarray(freqs, dtype=rdtype), tau,
+                         row0_scale=row0)                      # (K+1, M, NB)
+    c = jnp.transpose(w, (2, 1, 0)).astype(cdtype)             # (NB, M, K+1)
+    col_mask = jnp.concatenate(
+        [jnp.ones((1,), dtype=rdtype), jnp.asarray(active, dtype=rdtype)])
+    c = c * col_mask[None, None, :].astype(cdtype)
+    return c[ib]
 
 
 def build_constraints_np(geom: ArrayGeometry, freqs, theta, interf_angles,
@@ -89,13 +120,13 @@ class LcmvModel:
         self.ib = np.nonzero(mask)[0].astype(np.int32)
         self._jit = jax.jit(self._forward)
 
-    def _constraints_traced(self, thetas):
-        """C for each unique theta, computed in-graph: (U, Nib, M, S)."""
-        def one(th):
-            c = build_constraints(self.geom, self.freqs, th, self.interf,
-                                  self.rdtype)
-            return c[jnp.asarray(self.ib)].astype(self.cdtype)
-        return jax.vmap(one)(jnp.asarray(thetas, dtype=self.rdtype))
+    def _constraints_traced(self, u_theta, u_angles, u_active, u_row0):
+        """C for each unique control row: (U, Nib, M, K+1), masked."""
+        def one(th, ang, act, r0):
+            return build_constraints_masked(
+                self.geom, self.freqs, th, ang, act, r0,
+                self.rdtype, self.cdtype, jnp.asarray(self.ib))
+        return jax.vmap(one)(u_theta, u_angles, u_active, u_row0)
 
     def stream_init(self):
         return (common.wola_carry_init(self.engine, self.geom.num_mics,
@@ -103,10 +134,15 @@ class LcmvModel:
                 jnp.zeros((self.params.past_windows, self.geom.num_mics,
                            len(self.ib)), dtype=self.cdtype))
 
-    def _forward(self, x, thetas, w_idx, state):
+    def _forward(self, x, u_theta, u_angles, u_active, u_row0, idx, state):
         p = self.params
         carry, hist0 = state
-        c_uniq = self._constraints_traced(thetas)
+        c_uniq = self._constraints_traced(u_theta, u_angles, u_active,
+                                          u_row0)
+        # masked-identity fix for inactive constraint slots (per unique row)
+        ones1 = jnp.ones((u_active.shape[0], 1), dtype=self.rdtype)
+        inact = 1.0 - jnp.concatenate(
+            [ones1, jnp.asarray(u_active, dtype=self.rdtype)], axis=1)
         m = self.geom.num_mics
         x_spec, tail = common.stft_ext_carry(x, self.engine, self.window,
                                              self.cdtype, carry.tail)
@@ -121,14 +157,14 @@ class LcmvModel:
             g = jnp.einsum("wmn,wkn->nmk", hist, jnp.conj(hist))
             r = g * wr[None, :, :]
             c = c_uniq[u_t]                                  # (Nib, M, S)
-            w0 = lcmv_solve(r, c)                            # (Nib, M)
+            w0 = lcmv_solve(r, c, inact[u_t])                # (Nib, M)
             y_bf = jnp.einsum("nm,mn->n", jnp.conj(w0), x_t)
             y_pass = x_t[0, :] * 0.01
             y_t = jnp.where(mag_t > p.freq_mag_threshold, y_bf, y_pass)
             hist = jnp.concatenate([hist[1:], x_t[None]], axis=0)
             return hist, y_t
 
-        hist, y_ib = jax.lax.scan(step, hist0, (x_ib, mag_ib, w_idx))
+        hist, y_ib = jax.lax.scan(step, hist0, (x_ib, mag_ib, idx))
 
         y = jnp.zeros((x_spec.shape[0], x_spec.shape[2]), dtype=self.cdtype)
         y = y.at[:, ib].set(y_ib)
@@ -137,14 +173,30 @@ class LcmvModel:
                                            carry.out_prev)
         return out * p.out_amp, (common.WolaCarry(tail, prev), hist)
 
-    def process_chunk(self, x_chunk, theta, state):
+    def _control_arrays(self, theta, t, interference):
+        from beamform_tpu.runtime.timeline import (
+            InterferenceTimeline, static_interference, unique_control_rows)
+        th = common.theta_per_frame(theta, t)
+        tl = interference
+        if tl is None:
+            tl = static_interference(t, self.interf)
+        assert tl.angles.shape[0] >= t
+        tl_t = InterferenceTimeline(tl.angles[:t], tl.active[:t],
+                                    tl.row0[:t], tl.reset[:t])
+        u_th, u_ang, u_act, u_r0, idx = unique_control_rows(th, tl_t)
+        return (u_th.astype(self.np_r), u_ang.astype(self.np_r),
+                u_act.astype(self.np_r), u_r0.astype(self.np_r), idx)
+
+    def process_chunk(self, x_chunk, theta, state, interference=None):
+        """``interference``: optional InterferenceTimeline rows for this
+        chunk — the /theta_interference replacement (lcmv.cpp:258-309)."""
         x = jnp.asarray(x_chunk, dtype=self.rdtype)
         t = x.shape[-1] // self.engine.hop
-        th = common.theta_per_frame(theta, t)
-        uniq, w_idx = common.unique_thetas(th)
-        return self._jit(x, uniq.astype(self.np_r), w_idx, state)
+        ctrl = self._control_arrays(theta, t, interference)
+        return self._jit(x, *ctrl, state)
 
-    def process(self, x, theta=0.0):
+    def process(self, x, theta=0.0, interference=None):
         x = common.prepare_input(x, self.engine, self.rdtype)
-        out, _ = self.process_chunk(x, theta, self.stream_init())
+        out, _ = self.process_chunk(x, theta, self.stream_init(),
+                                    interference)
         return out

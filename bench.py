@@ -34,8 +34,14 @@ def aira16_xy():
 
 
 def bench_model(name: str, x, cfg, seconds: float, params=None, theta=20.0,
-                repeats: int = 3):
+                repeats: int = 8):
+    """Throughput (xRT): K back-to-back dispatches with device-side
+    accumulation and ONE scalar fetch at the end. On a tunneled TPU,
+    per-call block_until_ready can return before execution finishes and a
+    sync fetch costs a fixed ~27 ms round-trip; amortizing over K calls with
+    a single forcing fetch measures true device throughput."""
     import jax
+    import jax.numpy as jnp
     from beamform_tpu.config import EngineConfig
     from beamform_tpu.models import get_model
 
@@ -44,17 +50,18 @@ def bench_model(name: str, x, cfg, seconds: float, params=None, theta=20.0,
     model = get_model(name, engine, cfg, params)
     xd = jax.device_put(x)
 
-    # warmup / compile
-    y = model.process(xd, theta)
-    jax.block_until_ready(y)
-
-    best = float("inf")
-    for _ in range(repeats):
+    def run_k(k):
+        acc = jnp.zeros(())
         t0 = time.perf_counter()
-        y = model.process(xd, theta)
-        jax.block_until_ready(y)
-        best = min(best, time.perf_counter() - t0)
-    return seconds / best
+        for _ in range(k):
+            y = model.process(xd, theta)
+            acc = acc + y[-5:].sum()
+        float(acc)  # single forcing round-trip
+        return time.perf_counter() - t0
+
+    run_k(2)  # warmup / compile
+    dt = run_k(repeats)
+    return repeats * seconds / dt
 
 
 def main():

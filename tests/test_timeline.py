@@ -1,0 +1,117 @@
+"""Interference timeline: event protocol semantics + masked constraint
+equivalence in LCMV/GSS."""
+
+import numpy as np
+
+from beamform_tpu.config import EngineConfig, LcmvParams, GssParams
+from beamform_tpu.geometry import ArrayGeometry
+from beamform_tpu.models.lcmv import LcmvModel
+from beamform_tpu.models.gss import GssModel
+from beamform_tpu.runtime.timeline import (
+    InterfEvent, InterferenceTimeline, replay_interference_events,
+    static_interference)
+
+from conftest import AIRA3, make_scene
+
+HOP = 128
+FS = 48000
+
+
+def engine():
+    return EngineConfig(sample_rate=FS, window_size=HOP, dtype="float64")
+
+
+def test_event_protocol_semantics():
+    """lcmv.cpp:258-309: move, proximity-removal, add, proximity-reject."""
+    ev = [
+        InterfEvent(frame=2, id=1, angle=50.0),    # move slot 1
+        InterfEvent(frame=4, id=3, angle=-90.0),   # add (id > K)
+        InterfEvent(frame=6, id=5, angle=-88.0),   # add rejected (< 5 deg)
+        InterfEvent(frame=8, id=1, angle=-33.0),   # move near slot 2 -> del
+    ]
+    tl = replay_interference_events(10, [40.0, -30.0], ev, threshold=5.0,
+                                    capacity=4)
+    # t=0..1: initial set
+    assert tl.active[0].tolist() == [True, True, False, False]
+    np.testing.assert_allclose(tl.angles[0, :2], [40.0, -30.0])
+    assert tl.row0[0] == 1.0 and not tl.reset[0]
+    # t=2: moved slot 1 (no structural change -> row0 stays 1)
+    np.testing.assert_allclose(tl.angles[2, :2], [50.0, -30.0])
+    assert tl.row0[2] == 1.0 and tl.reset[2]
+    # t=4: added third interference -> row0 quirk kicks in
+    assert tl.active[4].tolist() == [True, True, True, False]
+    assert tl.angles[4, 2] == -90.0
+    assert tl.row0[4] == 0.0
+    # t=6: add rejected (within 5 deg of -90)
+    assert tl.active[6].tolist() == [True, True, True, False]
+    # t=8: slot 1 moved to -33, within 5 deg of slot 2 (-30) -> removed
+    assert tl.active[8].tolist() == [True, True, False, False]
+    np.testing.assert_allclose(tl.angles[8, :2], [-30.0, -90.0])
+
+
+def test_row0_quirk_switchable():
+    ev = [InterfEvent(frame=1, id=2, angle=90.0)]
+    tl = replay_interference_events(3, [0.0], ev,
+                                    bug_row0_zero_after_realloc=False)
+    assert tl.row0[2] == 1.0
+
+
+def _scene():
+    return make_scene(AIRA3, seconds=0.15, theta_deg=25.0, hop=HOP, seed=7,
+                      quiet_hops=6)
+
+
+def test_lcmv_masked_capacity_equals_exact():
+    """A fixed-capacity timeline with inactive slots must give exactly the
+    static-constraint result (the masked-identity solve is exact)."""
+    x = _scene()
+    t = x.shape[1] // HOP
+    p = LcmvParams(past_windows=4, freq_mag_threshold=0.0008,
+                   freq_max=16000.0, freq_min=100.0, out_amp=1.0)
+    geom = ArrayGeometry.from_xy(AIRA3)
+    exact = LcmvModel(engine(), geom, p, interference_angles=(60.0,))
+    y_exact = np.asarray(exact.process(x, 25.0))
+
+    padded = LcmvModel(engine(), geom, p, interference_angles=())
+    tl = static_interference(t, [60.0], capacity=5)  # 4 inactive slots
+    y_masked = np.asarray(padded.process(x, 25.0, interference=tl))
+    np.testing.assert_allclose(y_masked, y_exact, atol=1e-9)
+
+
+def test_gss_masked_capacity_equals_exact():
+    x = _scene()
+    t = x.shape[1] // HOP
+    p = GssParams(freq_mag_threshold=0.0008, freq_max=16000.0,
+                  freq_min=100.0, out_amp=0.1, mu=0.001)
+    geom = ArrayGeometry.from_xy(AIRA3)
+    exact = GssModel(engine(), geom, p, interference_angles=(60.0,))
+    y_exact = np.asarray(exact.process(x, 25.0))
+
+    padded = GssModel(engine(), geom, p, interference_angles=())
+    tl = static_interference(t, [60.0], capacity=4)
+    y_masked = np.asarray(padded.process(x, 25.0, interference=tl))
+    np.testing.assert_allclose(y_masked, y_exact, atol=1e-9)
+
+
+def test_lcmv_dynamic_event_runs_and_changes_output():
+    """A mid-stream interference add changes the output after the event and
+    engages the row0 quirk."""
+    x = _scene()
+    t = x.shape[1] // HOP
+    p = LcmvParams(past_windows=4, freq_mag_threshold=0.0008,
+                   freq_max=16000.0, freq_min=100.0, out_amp=1.0)
+    geom = ArrayGeometry.from_xy(AIRA3)
+    model = LcmvModel(engine(), geom, p, interference_angles=())
+
+    # NB: with M mics the post-realloc row0 quirk caps the usable constraint
+    # count at M-1 (the zeroed mic0 row drops the Gram rank; the reference's
+    # Eigen inverse produces garbage beyond that, as does ours). Use S=2.
+    tl_static = static_interference(t, [], capacity=3)
+    ev = [InterfEvent(frame=t // 2, id=1, angle=-70.0)]
+    tl_dyn = replay_interference_events(t, [], ev, capacity=3)
+    y_s = np.asarray(model.process(x, 25.0, interference=tl_static))
+    y_d = np.asarray(model.process(x, 25.0, interference=tl_dyn))
+    half = (t // 2) * HOP
+    np.testing.assert_allclose(y_d[:half], y_s[:half], atol=1e-9)
+    assert np.max(np.abs(y_d[half + HOP:] - y_s[half + HOP:])) > 1e-6
+    assert np.isfinite(y_d).all()
