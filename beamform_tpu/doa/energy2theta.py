@@ -1,0 +1,133 @@
+"""Gradient-based DOA refinement from beamformer output energy.
+
+Replicates the reference's closed-loop steering refiners:
+
+* scripts/energy2theta.py — gradient ASCENT on the beamformed output's
+  energy: a 50-window deque, energy = histogram expected value with
+  Freedman-Diaconis bins frozen at the first estimate, theta += mu * dE,
+  wrapped to +-180 (energy2theta.py:12-103); windows below ``vad_threshold``
+  rms are skipped.
+* scripts/energy2theta-diff.py — gradient DESCENT on the energy of
+  (reference - beamformed), energy = plain rms over the deque
+  (energy2theta-diff.py:60-107); the deque always advances, the update only
+  runs on loud-enough windows.
+
+These run host-side (they are rospy leaf nodes in the reference) and feed a
+theta timeline back into the models — the closed loop of SURVEY.md §1 L5.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+
+def rms(x) -> float:
+    x = np.asarray(x, dtype=np.float64)
+    return float(np.sqrt(np.mean(x ** 2)))
+
+
+@dataclass
+class GradientDoa:
+    """energy2theta.py: histogram-expected-value energy, gradient ascent."""
+
+    theta: float = 0.0
+    mu: float = 25.0
+    num_win: int = 50
+    vad_threshold: float = 0.001
+    energy_mode: str = "hist"   # "hist" (faithful) | "rms" (spec variant)
+    sign: float = +1.0          # ascent
+
+    _windows: deque = field(default_factory=deque)
+    _past_energy: float = -100.0
+    _hist_bins: Optional[np.ndarray] = None
+
+    def _deque_energy(self) -> float:
+        data = np.abs(np.concatenate([np.asarray(w).ravel()
+                                      for w in self._windows]))
+        if self.energy_mode == "rms":
+            return float(np.sqrt(np.mean(data ** 2)))
+        if self._hist_bins is None:
+            vals, bins = np.histogram(data, "fd")
+            self._hist_bins = bins
+        else:
+            vals, bins = np.histogram(data, self._hist_bins)
+        p = vals.astype(np.float64) / data.size
+        return float(np.sum(bins[:-1] * p))   # expected value
+
+    def step(self, window) -> float:
+        """Feed one beamformer output window; returns current theta."""
+        w = np.asarray(window, dtype=np.float64)
+        if rms(w) < self.vad_threshold:
+            return self.theta
+        if len(self._windows) < self.num_win:
+            self._windows.append(w)
+            return self.theta
+        self._windows.popleft()
+        self._windows.append(w)
+        if self._past_energy == -100.0:
+            self._past_energy = self._deque_energy()
+        energy = self._deque_energy()
+        theta = self.theta + self.sign * self.mu * (energy
+                                                    - self._past_energy)
+        if theta > 180.0:
+            theta -= 360.0
+        elif theta < -180.0:
+            theta += 360.0
+        self._past_energy = energy
+        self.theta = theta
+        return self.theta
+
+    def run(self, stream, hop: int) -> np.ndarray:
+        """(S,) output stream -> per-window theta timeline."""
+        s = np.asarray(stream)
+        t = len(s) // hop
+        return np.array([self.step(s[i * hop:(i + 1) * hop])
+                         for i in range(t)])
+
+
+@dataclass
+class DiffGradientDoa:
+    """energy2theta-diff.py: descent on rms energy of (ref - beamformed)."""
+
+    theta: float = 0.0
+    mu: float = 25.0
+    num_win: int = 50
+    vad_threshold: float = 0.001
+
+    _windows: deque = field(default_factory=deque)
+    _past_energy: float = -100.0
+
+    def step(self, beamformed, reference) -> float:
+        diff = (np.asarray(reference, dtype=np.float64)
+                - np.asarray(beamformed, dtype=np.float64))
+        if len(self._windows) < self.num_win:
+            self._windows.append(diff)
+        else:
+            self._windows.popleft()
+            self._windows.append(diff)
+        if rms(diff) < self.vad_threshold:
+            return self.theta
+        data = np.abs(np.concatenate([w.ravel() for w in self._windows]))
+        energy = float(np.sqrt(np.mean(data ** 2)))
+        if self._past_energy == -100.0:
+            self._past_energy = energy
+        theta = self.theta - self.mu * (energy - self._past_energy)
+        if theta > 180.0:
+            theta -= 360.0
+        elif theta < -180.0:
+            theta += 360.0
+        self._past_energy = energy
+        self.theta = theta
+        return self.theta
+
+    def run(self, beamformed, reference, hop: int) -> np.ndarray:
+        b = np.asarray(beamformed)
+        r = np.asarray(reference)
+        t = min(len(b), len(r)) // hop
+        return np.array([
+            self.step(b[i * hop:(i + 1) * hop], r[i * hop:(i + 1) * hop])
+            for i in range(t)])

@@ -27,12 +27,17 @@ from beamform_tpu.models import get_model
 class StreamingSession:
     """Stateful wrapper around a model's (stream_init, process_chunk)."""
 
-    def __init__(self, model, chunk_frames: Optional[int] = None):
+    def __init__(self, model, chunk_frames: Optional[int] = None,
+                 monitor=None):
         self.model = model
         self.hop = model.engine.hop
         self.chunk_frames = chunk_frames
         self.state = model.stream_init()
         self.frames_done = 0
+        if monitor is True:
+            from beamform_tpu.utils.profiling import RealTimeMonitor
+            monitor = RealTimeMonitor(model.engine.sample_rate)
+        self.monitor = monitor
 
     def process(self, x_chunk, theta=None):
         """Feed (M, k*hop) samples; returns (k*hop,) output samples.
@@ -50,7 +55,13 @@ class StreamingSession:
             assert x.shape[-1] == self.chunk_frames * self.hop
         if theta is None:
             theta = getattr(self, "_last_theta", 0.0)
+        if self.monitor is not None:
+            self.monitor.start_chunk()
         out, self.state = self.model.process_chunk(x, theta, self.state)
+        if self.monitor is not None:
+            import jax
+            jax.block_until_ready(out)
+            self.monitor.end_chunk(x.shape[-1])
         th = np.atleast_1d(np.asarray(theta, dtype=np.float64))
         self._last_theta = float(th[-1])
         self.frames_done += x.shape[-1] // self.hop
