@@ -1,0 +1,206 @@
+"""ctypes bindings for the native audio runtime (csrc/beamio.cpp).
+
+Builds the shared library on demand (g++) and exposes WAV I/O, the SPSC
+ring buffer, the streaming sinc resampler, and chunked WAV streaming. Every
+entry point has a pure-Python fallback elsewhere in the package
+(runtime.wav, runtime.resample), so the framework works without a compiler;
+the native layer is the production fast path for host-side I/O.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional, Tuple
+
+import numpy as np
+
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+_CSRC = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "csrc")
+
+
+def _build() -> Optional[str]:
+    so = os.path.join(_CSRC, "libbeamio.so")
+    src = os.path.join(_CSRC, "beamio.cpp")
+    if not os.path.exists(src):
+        return None
+    if (os.path.exists(so)
+            and os.path.getmtime(so) >= os.path.getmtime(src)):
+        return so
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-fPIC", "-std=c++17",
+             "-shared", "-o", so, src, "-lm"],
+            check=True, capture_output=True, timeout=120)
+        return so
+    except Exception:
+        return None
+
+
+def load() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    _TRIED = True
+    so = _build()
+    if so is None:
+        return None
+    lib = ctypes.CDLL(so)
+    c = ctypes
+    lib.bio_wav_info.argtypes = [c.c_char_p, c.POINTER(c.c_int),
+                                 c.POINTER(c.c_int), c.POINTER(c.c_long)]
+    lib.bio_wav_read.argtypes = [c.c_char_p, c.POINTER(c.c_float), c.c_long]
+    lib.bio_wav_write.argtypes = [c.c_char_p, c.POINTER(c.c_float),
+                                  c.c_long, c.c_int, c.c_int, c.c_int]
+    lib.bio_wav_stream_open.restype = c.c_void_p
+    lib.bio_wav_stream_open.argtypes = [c.c_char_p, c.POINTER(c.c_int),
+                                        c.POINTER(c.c_int),
+                                        c.POINTER(c.c_long)]
+    lib.bio_wav_stream_read.restype = c.c_long
+    lib.bio_wav_stream_read.argtypes = [c.c_void_p, c.POINTER(c.c_float),
+                                        c.c_long]
+    lib.bio_wav_stream_close.argtypes = [c.c_void_p]
+    lib.bio_ring_create.restype = c.c_void_p
+    lib.bio_ring_create.argtypes = [c.c_long]
+    lib.bio_ring_write.restype = c.c_long
+    lib.bio_ring_write.argtypes = [c.c_void_p, c.POINTER(c.c_float),
+                                   c.c_long]
+    lib.bio_ring_read.restype = c.c_long
+    lib.bio_ring_read.argtypes = [c.c_void_p, c.POINTER(c.c_float), c.c_long]
+    lib.bio_ring_available.restype = c.c_long
+    lib.bio_ring_available.argtypes = [c.c_void_p]
+    lib.bio_ring_free.argtypes = [c.c_void_p]
+    lib.bio_src_new.restype = c.c_void_p
+    lib.bio_src_new.argtypes = [c.c_int, c.c_int, c.c_int]
+    lib.bio_src_process.restype = c.c_long
+    lib.bio_src_process.argtypes = [c.c_void_p, c.POINTER(c.c_float),
+                                    c.c_long, c.POINTER(c.c_float), c.c_long]
+    lib.bio_src_free.argtypes = [c.c_void_p]
+    _LIB = lib
+    return lib
+
+
+def available() -> bool:
+    return load() is not None
+
+
+def _fp(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+FMT = {"pcm16": 0, "pcm24": 1, "pcm32": 2, "float32": 3}
+
+
+def read_wav(path: str) -> Tuple[np.ndarray, int]:
+    """Native WAV read: ((C, S) float32, sample_rate)."""
+    lib = load()
+    assert lib is not None
+    ch, fs, fr = ctypes.c_int(), ctypes.c_int(), ctypes.c_long()
+    rc = lib.bio_wav_info(path.encode(), ctypes.byref(ch), ctypes.byref(fs),
+                          ctypes.byref(fr))
+    if rc != 0:
+        raise IOError(f"bio_wav_info({path}) -> {rc}")
+    out = np.empty((fr.value, ch.value), dtype=np.float32)
+    rc = lib.bio_wav_read(path.encode(), _fp(out), fr.value)
+    if rc != 0:
+        raise IOError(f"bio_wav_read({path}) -> {rc}")
+    return np.ascontiguousarray(out.T), fs.value
+
+
+def write_wav(path: str, data, sample_rate: int, *, fmt: str = "pcm16"):
+    lib = load()
+    assert lib is not None
+    x = np.asarray(data, dtype=np.float32)
+    if x.ndim == 1:
+        x = x[None, :]
+    inter = np.ascontiguousarray(x.T)
+    rc = lib.bio_wav_write(path.encode(), _fp(inter), x.shape[1], x.shape[0],
+                           sample_rate, FMT[fmt])
+    if rc != 0:
+        raise IOError(f"bio_wav_write({path}) -> {rc}")
+
+
+class RingBuffer:
+    """Lock-free SPSC ring buffer (the jack_ringbuffer role)."""
+
+    def __init__(self, capacity: int):
+        self._lib = load()
+        assert self._lib is not None
+        self._h = self._lib.bio_ring_create(capacity)
+
+    def write(self, data) -> int:
+        x = np.ascontiguousarray(data, dtype=np.float32)
+        return self._lib.bio_ring_write(self._h, _fp(x), x.size)
+
+    def read(self, n: int) -> np.ndarray:
+        out = np.empty(n, dtype=np.float32)
+        got = self._lib.bio_ring_read(self._h, _fp(out), n)
+        return out[:got]
+
+    @property
+    def available(self) -> int:
+        return self._lib.bio_ring_available(self._h)
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.bio_ring_free(self._h)
+            self._h = None
+
+
+class Resampler:
+    """Streaming polyphase sinc resampler (the libsamplerate role)."""
+
+    def __init__(self, fs_in: int, fs_out: int, taps_per_phase: int = 16):
+        self._lib = load()
+        assert self._lib is not None
+        self._h = self._lib.bio_src_new(fs_in, fs_out, taps_per_phase)
+        self.ratio = fs_out / fs_in
+
+    def process(self, block) -> np.ndarray:
+        x = np.ascontiguousarray(block, dtype=np.float32)
+        max_out = int(np.ceil(x.size * self.ratio)) + 64
+        out = np.empty(max_out, dtype=np.float32)
+        got = self._lib.bio_src_process(self._h, _fp(x), x.size, _fp(out),
+                                        max_out)
+        return out[:got]
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.bio_src_free(self._h)
+            self._h = None
+
+
+class WavStream:
+    """Chunked WAV reader: feeds fixed-size hops without loading the file."""
+
+    def __init__(self, path: str):
+        self._lib = load()
+        assert self._lib is not None
+        ch, fs, fr = ctypes.c_int(), ctypes.c_int(), ctypes.c_long()
+        self._h = self._lib.bio_wav_stream_open(
+            path.encode(), ctypes.byref(ch), ctypes.byref(fs),
+            ctypes.byref(fr))
+        if not self._h:
+            raise IOError(f"cannot open {path}")
+        self.channels, self.sample_rate, self.frames = (ch.value, fs.value,
+                                                        fr.value)
+
+    def read(self, frames: int) -> Tuple[np.ndarray, int]:
+        """Returns ((C, frames) float32 zero-padded at EOF, frames_read)."""
+        out = np.empty((frames, self.channels), dtype=np.float32)
+        got = self._lib.bio_wav_stream_read(self._h, _fp(out), frames)
+        if got < 0:
+            raise IOError("stream read failed")
+        return np.ascontiguousarray(out.T), int(got)
+
+    def close(self):
+        if getattr(self, "_h", None):
+            self._lib.bio_wav_stream_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        self.close()

@@ -25,13 +25,35 @@ def _fmt_chunk(fmt_tag, channels, fs, bits):
                        block_align, bits)
 
 
-def write_wav(path: str, data, sample_rate: int, *, fmt: str = "pcm16"):
+def _native():
+    try:
+        from beamform_tpu.runtime import native
+        return native if native.available() else None
+    except Exception:
+        return None
+
+
+def write_wav(path: str, data, sample_rate: int, *, fmt: str = "pcm16",
+              prefer_native: bool = True):
     """data: (S,) or (C, S) float in [-1, 1]. fmt: pcm16|pcm24|pcm32|float32.
 
     pcm16 matches the reference's output path bit-for-bit given identical
     float inputs (libsndfile float->short, no clipping: wraps on overflow).
+    Uses the C++ writer (csrc/beamio) when built — bit-identical output —
+    with this pure-NumPy implementation as the always-available fallback.
     """
-    x = np.asarray(data, dtype=np.float64)
+    if prefer_native:
+        nat = _native()
+        if nat is not None:
+            return nat.write_wav(path, np.asarray(data, dtype=np.float32),
+                                 sample_rate, fmt=fmt)
+    return _write_wav_py(path, data, sample_rate, fmt=fmt)
+
+
+def _write_wav_py(path: str, data, sample_rate: int, *, fmt: str = "pcm16"):
+    # the reference writes through a float32 buffer (rosjack.cpp:208,406-408)
+    # — quantize from float32 so native/python/reference agree bit-for-bit
+    x = np.asarray(data, dtype=np.float32).astype(np.float64)
     if x.ndim == 1:
         x = x[None, :]
     c, s = x.shape

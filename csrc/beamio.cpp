@@ -1,0 +1,402 @@
+// beamio: native audio-runtime library for beamform_tpu.
+//
+// The TPU compute path is JAX/XLA; this library is the native runtime
+// around it, covering what the reference implements in C++ inside rosjack
+// (beamform/src/rosjack/rosjack.cpp): WAV file I/O with libsndfile-equivalent
+// float->PCM conversion, a lock-free single-producer/single-consumer ring
+// buffer (the jack_ringbuffer role), a streaming polyphase sinc sample-rate
+// converter (the libsamplerate role), and chunked WAV streaming for
+// feeding fixed-size hops to the compute engine without loading whole
+// files.
+//
+// C ABI throughout (consumed from Python via ctypes).
+
+#include <atomic>
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <vector>
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// WAV container
+// ---------------------------------------------------------------------------
+
+#pragma pack(push, 1)
+struct FmtChunk {
+  uint16_t tag;
+  uint16_t channels;
+  uint32_t sample_rate;
+  uint32_t byte_rate;
+  uint16_t block_align;
+  uint16_t bits;
+};
+#pragma pack(pop)
+
+struct WavInfo {
+  uint16_t tag = 0;
+  uint16_t channels = 0;
+  uint32_t sample_rate = 0;
+  uint16_t bits = 0;
+  long data_offset = 0;
+  long data_bytes = 0;
+};
+
+bool read_header(FILE* f, WavInfo* info) {
+  char id[4];
+  uint32_t size;
+  if (fread(id, 1, 4, f) != 4 || memcmp(id, "RIFF", 4)) return false;
+  if (fread(&size, 4, 1, f) != 1) return false;
+  if (fread(id, 1, 4, f) != 4 || memcmp(id, "WAVE", 4)) return false;
+  bool have_fmt = false, have_data = false;
+  while (!have_data) {
+    if (fread(id, 1, 4, f) != 4 || fread(&size, 4, 1, f) != 1) break;
+    if (!memcmp(id, "fmt ", 4)) {
+      FmtChunk fmt;
+      long pos = ftell(f);
+      if (fread(&fmt, sizeof(fmt), 1, f) != 1) return false;
+      info->tag = fmt.tag;
+      info->channels = fmt.channels;
+      info->sample_rate = fmt.sample_rate;
+      info->bits = fmt.bits;
+      if (fmt.tag == 0xFFFE && size >= 26) {
+        // WAVE_FORMAT_EXTENSIBLE: real tag at byte 24 of the chunk
+        fseek(f, pos + 24, SEEK_SET);
+        uint16_t sub;
+        if (fread(&sub, 2, 1, f) == 1) info->tag = sub;
+      }
+      fseek(f, pos + size + (size & 1), SEEK_SET);
+      have_fmt = true;
+    } else if (!memcmp(id, "data", 4)) {
+      info->data_offset = ftell(f);
+      info->data_bytes = size;
+      have_data = true;
+    } else {
+      fseek(f, size + (size & 1), SEEK_CUR);
+    }
+  }
+  return have_fmt && have_data;
+}
+
+long frame_count(const WavInfo& w) {
+  int bytes = w.bits / 8;
+  if (!bytes || !w.channels) return 0;
+  return w.data_bytes / (bytes * w.channels);
+}
+
+// decode `n` interleaved frames starting at the current file position
+bool decode_frames(FILE* f, const WavInfo& w, float* out, long n) {
+  const long vals = n * w.channels;
+  if (w.tag == 1 && w.bits == 16) {
+    std::vector<int16_t> buf(vals);
+    if (fread(buf.data(), 2, vals, f) != (size_t)vals) return false;
+    for (long i = 0; i < vals; ++i) out[i] = buf[i] / 32768.0f;
+  } else if (w.tag == 1 && w.bits == 24) {
+    std::vector<uint8_t> buf(vals * 3);
+    if (fread(buf.data(), 1, vals * 3, f) != (size_t)(vals * 3))
+      return false;
+    for (long i = 0; i < vals; ++i) {
+      int32_t v = buf[3 * i] | (buf[3 * i + 1] << 8) | (buf[3 * i + 2] << 16);
+      if (v & 0x800000) v -= 0x1000000;
+      out[i] = v / 8388608.0f;
+    }
+  } else if (w.tag == 1 && w.bits == 32) {
+    std::vector<int32_t> buf(vals);
+    if (fread(buf.data(), 4, vals, f) != (size_t)vals) return false;
+    for (long i = 0; i < vals; ++i) out[i] = (float)(buf[i] / 2147483648.0);
+  } else if (w.tag == 3 && w.bits == 32) {
+    if (fread(out, 4, vals, f) != (size_t)vals) return false;
+  } else if (w.tag == 3 && w.bits == 64) {
+    std::vector<double> buf(vals);
+    if (fread(buf.data(), 8, vals, f) != (size_t)vals) return false;
+    for (long i = 0; i < vals; ++i) out[i] = (float)buf[i];
+  } else {
+    return false;
+  }
+  return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+// --------------------------- WAV: whole-file ------------------------------
+
+int bio_wav_info(const char* path, int* channels, int* sample_rate,
+                 long* frames) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  WavInfo w;
+  bool ok = read_header(f, &w);
+  fclose(f);
+  if (!ok) return -2;
+  *channels = w.channels;
+  *sample_rate = (int)w.sample_rate;
+  *frames = frame_count(w);
+  return 0;
+}
+
+// out: caller-allocated frames*channels float32, interleaved
+int bio_wav_read(const char* path, float* out, long frames) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  WavInfo w;
+  if (!read_header(f, &w)) { fclose(f); return -2; }
+  fseek(f, w.data_offset, SEEK_SET);
+  long n = frame_count(w);
+  if (frames < n) n = frames;
+  bool ok = decode_frames(f, w, out, n);
+  fclose(f);
+  return ok ? 0 : -3;
+}
+
+// fmt: 0=pcm16 1=pcm24 2=pcm32 3=float32. PCM16 matches libsndfile's
+// sf_write_float on a PCM_16 file without clipping: lrint(x*32768), wraps
+// on overflow (rosjack.cpp:197,404-409).
+int bio_wav_write(const char* path, const float* interleaved, long frames,
+                  int channels, int sample_rate, int fmt) {
+  FILE* f = fopen(path, "wb");
+  if (!f) return -1;
+  const long vals = frames * channels;
+  uint16_t tag = (fmt == 3) ? 3 : 1;
+  uint16_t bits = (fmt == 0) ? 16 : (fmt == 1) ? 24 : 32;
+  uint32_t payload = (uint32_t)(vals * (bits / 8));
+  FmtChunk fc{tag, (uint16_t)channels, (uint32_t)sample_rate,
+              (uint32_t)(sample_rate * channels * (bits / 8)),
+              (uint16_t)(channels * (bits / 8)), bits};
+  uint32_t riff = 4 + 8 + sizeof(fc) + 8 + payload;
+  fwrite("RIFF", 1, 4, f);
+  fwrite(&riff, 4, 1, f);
+  fwrite("WAVE", 1, 4, f);
+  fwrite("fmt ", 1, 4, f);
+  uint32_t fsz = sizeof(fc);
+  fwrite(&fsz, 4, 1, f);
+  fwrite(&fc, sizeof(fc), 1, f);
+  fwrite("data", 1, 4, f);
+  fwrite(&payload, 4, 1, f);
+  if (fmt == 0) {
+    std::vector<int16_t> buf(vals);
+    for (long i = 0; i < vals; ++i)
+      buf[i] = (int16_t)(int64_t)llrintf(interleaved[i] * 32768.0f);
+    fwrite(buf.data(), 2, vals, f);
+  } else if (fmt == 1) {
+    std::vector<uint8_t> buf(vals * 3);
+    for (long i = 0; i < vals; ++i) {
+      int32_t v = (int32_t)(int64_t)llrintf(interleaved[i] * 8388608.0f);
+      buf[3 * i] = v & 0xFF;
+      buf[3 * i + 1] = (v >> 8) & 0xFF;
+      buf[3 * i + 2] = (v >> 16) & 0xFF;
+    }
+    fwrite(buf.data(), 1, vals * 3, f);
+  } else if (fmt == 2) {
+    std::vector<int32_t> buf(vals);
+    for (long i = 0; i < vals; ++i) {
+      double q = llrint(interleaved[i] * 2147483648.0);
+      if (q > 2147483647.0) q = 2147483647.0;
+      if (q < -2147483648.0) q = -2147483648.0;
+      buf[i] = (int32_t)q;
+    }
+    fwrite(buf.data(), 4, vals, f);
+  } else {
+    fwrite(interleaved, 4, vals, f);
+  }
+  fclose(f);
+  return 0;
+}
+
+// --------------------------- WAV: streaming -------------------------------
+
+struct BioWavStream {
+  FILE* f;
+  WavInfo w;
+  long frames_left;
+};
+
+void* bio_wav_stream_open(const char* path, int* channels, int* sample_rate,
+                          long* frames) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return nullptr;
+  WavInfo w;
+  if (!read_header(f, &w)) { fclose(f); return nullptr; }
+  fseek(f, w.data_offset, SEEK_SET);
+  auto* s = new BioWavStream{f, w, frame_count(w)};
+  *channels = w.channels;
+  *sample_rate = (int)w.sample_rate;
+  *frames = s->frames_left;
+  return s;
+}
+
+// returns frames actually read (zero-padded to `frames` at EOF)
+long bio_wav_stream_read(void* handle, float* out, long frames) {
+  auto* s = (BioWavStream*)handle;
+  long n = frames < s->frames_left ? frames : s->frames_left;
+  if (n > 0 && !decode_frames(s->f, s->w, out, n)) return -1;
+  long pad = (frames - n) * s->w.channels;
+  if (pad > 0) memset(out + n * s->w.channels, 0, pad * sizeof(float));
+  s->frames_left -= n;
+  return n;
+}
+
+void bio_wav_stream_close(void* handle) {
+  auto* s = (BioWavStream*)handle;
+  fclose(s->f);
+  delete s;
+}
+
+// ------------------- lock-free SPSC ring buffer ----------------------------
+// The jack_ringbuffer role (util.h:265-287): one real-time producer, one
+// consumer, no locks — acquire/release atomics on the read/write indices.
+
+struct BioRing {
+  std::vector<float> buf;
+  size_t cap;  // power of two
+  std::atomic<size_t> w{0}, r{0};
+};
+
+void* bio_ring_create(long capacity) {
+  size_t cap = 1;
+  while (cap < (size_t)capacity) cap <<= 1;
+  auto* rb = new BioRing;
+  rb->buf.resize(cap);
+  rb->cap = cap;
+  return rb;
+}
+
+long bio_ring_write(void* h, const float* data, long n) {
+  auto* rb = (BioRing*)h;
+  size_t w = rb->w.load(std::memory_order_relaxed);
+  size_t r = rb->r.load(std::memory_order_acquire);
+  size_t free_space = rb->cap - (w - r);
+  size_t todo = (size_t)n < free_space ? (size_t)n : free_space;
+  for (size_t i = 0; i < todo; ++i) rb->buf[(w + i) & (rb->cap - 1)] = data[i];
+  rb->w.store(w + todo, std::memory_order_release);
+  return (long)todo;
+}
+
+long bio_ring_read(void* h, float* out, long n) {
+  auto* rb = (BioRing*)h;
+  size_t r = rb->r.load(std::memory_order_relaxed);
+  size_t w = rb->w.load(std::memory_order_acquire);
+  size_t avail = w - r;
+  size_t todo = (size_t)n < avail ? (size_t)n : avail;
+  for (size_t i = 0; i < todo; ++i) out[i] = rb->buf[(r + i) & (rb->cap - 1)];
+  rb->r.store(r + todo, std::memory_order_release);
+  return (long)todo;
+}
+
+long bio_ring_available(void* h) {
+  auto* rb = (BioRing*)h;
+  return (long)(rb->w.load(std::memory_order_acquire)
+                - rb->r.load(std::memory_order_acquire));
+}
+
+void bio_ring_free(void* h) { delete (BioRing*)h; }
+
+// -------------------- streaming polyphase resampler ------------------------
+// The libsamplerate role (rosjack.cpp:159-187, 311-350): windowed-sinc
+// polyphase conversion with streaming state (tail carried across calls).
+
+namespace {
+double bessel_i0(double x) {
+  double sum = 1.0, term = 1.0;
+  for (int k = 1; k < 64; ++k) {
+    term *= (x / (2.0 * k)) * (x / (2.0 * k));
+    sum += term;
+    if (term < 1e-16 * sum) break;
+  }
+  return sum;
+}
+}  // namespace
+
+struct BioSrc {
+  int up, down;
+  int taps;             // total filter taps
+  int tmax;             // max input samples under the filter support
+  std::vector<float> h; // filter
+  std::vector<float> tail;  // carried input history
+  long u_next = 0;          // next output's upsampled index, relative to
+                            // tail[0]'s upsampled position
+};
+
+void* bio_src_new(int fs_in, int fs_out, int taps_per_phase) {
+  int g = 1;
+  for (int d = 1; d <= fs_in && d <= fs_out; ++d)
+    if (fs_in % d == 0 && fs_out % d == 0) g = d;
+  int up = fs_out / g, down = fs_in / g;
+  int longer = up > down ? up : down;
+  int taps = 2 * taps_per_phase * longer + 1;
+  auto* s = new BioSrc;
+  s->up = up;
+  s->down = down;
+  s->taps = taps;
+  s->h.resize(taps);
+  const double beta = 9.0;
+  const double cutoff = 1.0 / longer;  // fraction of upsampled Nyquist
+  const double i0b = bessel_i0(beta);
+  const int mid = (taps - 1) / 2;
+  for (int i = 0; i < taps; ++i) {
+    double t = i - mid;
+    double sinc = t == 0 ? cutoff : sin(M_PI * cutoff * t) / (M_PI * t);
+    double w = i0b == 0 ? 1.0
+        : bessel_i0(beta * sqrt(1.0 - (t / mid) * (t / mid))) / i0b;
+    s->h[i] = (float)(sinc * w * up);
+  }
+  s->tmax = (taps - 1) / up + 1;
+  // prime with tmax zeros of history so the first outputs have full
+  // filter support (the filter's group delay shifts the output by
+  // ~(taps-1)/(2*up) input samples, like any streaming sinc SRC)
+  s->tail.assign(s->tmax, 0.0f);
+  s->u_next = (long)s->tmax * up;
+  return s;
+}
+
+// Push n_in input samples; writes up to max_out output samples.
+// Returns the number of output samples produced.
+//
+// Model: xu = zero-stuffed input (xu[i*up] = x[i]); y_u = h * xu;
+// output k = y_u[u_next + k*down]. For upsampled index u only taps
+// j == u (mod up) contribute: j = j0 + t*up, input index base - t with
+// j0 = u % up, base = (u - j0)/up.
+long bio_src_process(void* handle, const float* in, long n_in, float* out,
+                     long max_out) {
+  auto* s = (BioSrc*)handle;
+  const int up = s->up, down = s->down, taps = s->taps;
+  const long hist = (long)s->tail.size();
+  const long len = hist + n_in;
+  std::vector<float> x(len);
+  memcpy(x.data(), s->tail.data(), hist * sizeof(float));
+  if (n_in > 0) memcpy(x.data() + hist, in, n_in * sizeof(float));
+
+  long produced = 0;
+  long u = s->u_next;
+  while (produced < max_out) {
+    int j0 = (int)(u % up);
+    long base = (u - j0) / up;       // newest input sample needed
+    if (base > len - 1) break;       // not yet available
+    int tcnt = (taps - 1 - j0) / up + 1;
+    double acc = 0.0;
+    long lo = base - tcnt + 1;
+    if (lo < 0) { u += down; continue; }  // insufficient history (startup)
+    for (int t = 0; t < tcnt; ++t)
+      acc += (double)s->h[j0 + t * up] * (double)x[base - t];
+    out[produced++] = (float)acc;
+    u += down;
+  }
+  // drop history no future output can need; rebase indices
+  long base_next = u / up;
+  long drop = base_next - s->tmax + 1;
+  if (drop < 0) drop = 0;
+  if (drop > len) drop = len;
+  s->tail.assign(x.begin() + drop, x.end());
+  s->u_next = u - drop * up;
+  return produced;
+}
+
+void bio_src_free(void* h) { delete (BioSrc*)h; }
+
+const char* bio_version() { return "beamio 0.1.0"; }
+
+}  // extern "C"

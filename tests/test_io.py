@@ -34,7 +34,7 @@ def test_wav_pcm16_matches_libsndfile_conversion(tmp_path):
     np.testing.assert_array_equal(data, expect)
 
 
-@pytest.mark.parametrize("fmt,tol", [("pcm24", 2 ** -23), ("pcm32", 2 ** -31),
+@pytest.mark.parametrize("fmt,tol", [("pcm24", 2 ** -23), ("pcm32", 1e-7),
                                      ("float32", 1e-7)])
 def test_wav_other_formats(tmp_path, fmt, tol):
     rng = np.random.default_rng(1)
