@@ -142,6 +142,22 @@ def istft_ext(y_ext, engine: EngineConfig, window):
 # ---------------------------------------------------------------------------
 
 
+@jax.jit
+def _zeros_like_struct(struct):
+    return jax.tree.map(jnp.zeros_like, struct)
+
+
+def device_zeros(shape, dtype):
+    """Zeros materialized BY a compiled program, not transferred.
+
+    Eager ``jnp.zeros`` of a complex dtype is shipped as a host constant,
+    and tunneled TPU backends cannot transfer complex buffers — worse, the
+    failed transfer poisons the device context for every later op. Routing
+    through jit makes the device itself produce the buffer.
+    """
+    return jax.jit(jnp.zeros, static_argnums=(0, 1))(tuple(shape), dtype)
+
+
 class WolaCarry(NamedTuple):
     tail: jnp.ndarray       # (..., hop): last hop of input (ring content)
     out_prev: jnp.ndarray   # (..., hop): previous processed half-window
@@ -272,8 +288,13 @@ def theta_per_frame(theta, num_frames: int) -> np.ndarray:
     return th
 
 
-def make_window(engine: EngineConfig, rdtype):
-    return jnp.asarray(sqrt_hann(engine.fft_win), dtype=rdtype)
+def make_window(engine: EngineConfig, rdtype) -> np.ndarray:
+    """Host-side (numpy) window constant. Must NOT be a device array: model
+    attributes get captured as jit constants, and MLIR lowering fetches
+    constant values — a device->host read that tunneled TPU backends
+    cannot always service."""
+    np_r = np.float64 if rdtype == jnp.float64 else np.float32
+    return sqrt_hann(engine.fft_win).astype(np_r)
 
 
 def make_freqs(engine: EngineConfig) -> np.ndarray:

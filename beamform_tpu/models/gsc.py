@@ -107,17 +107,28 @@ class GscModel:
         y = y * self.window
         y = jnp.moveaxis(y, 1, 0)               # (M, T, N)
         streams, prev = overlap_add_carry(y, self.engine.hop, carry.out_prev)
-        return (jnp.moveaxis(streams, 0, 1),    # (S, M)
-                common.WolaCarry(tail, prev))
+        return streams, common.WolaCarry(tail, prev)   # (M, S)
+
+    def _use_pallas(self, num_samples: int) -> bool:
+        return (common.use_mxu_fft(self.engine)       # tpu + float32
+                and self.params.filter_size >= 128
+                and num_samples % 1024 == 0)
 
     def _forward(self, x, thetas, w_idx, state):
         carry, gstate = state
         aligned, carry = self.aligned_streams(x, thetas, w_idx, carry)
 
+        if self._use_pallas(aligned.shape[-1]):
+            from beamform_tpu.kernels.gsc_pallas import gsc_adaptive_pallas
+            out, blk, flt, lo = gsc_adaptive_pallas(
+                aligned, gstate.block, gstate.filt, gstate.last_out,
+                self.params)
+            return out, (carry, GscState(blk, flt, lo))
+
         def step(st, a_t):
             return gsc_sample_step(st, a_t, self.params)
 
-        gstate, out = jax.lax.scan(step, gstate, aligned)
+        gstate, out = jax.lax.scan(step, gstate, jnp.moveaxis(aligned, 0, 1))
         return out, (carry, gstate)
 
     def process_chunk(self, x_chunk, theta, state):

@@ -100,8 +100,8 @@ class GssModel:
             else self._capacity + 1
         return (common.wola_carry_init(self.engine, self.geom.num_mics,
                                        self.rdtype),
-                jnp.zeros((len(self.ib), s, self.geom.num_mics),
-                          dtype=self.cdtype),
+                common.device_zeros((len(self.ib), s, self.geom.num_mics),
+                                    self.cdtype),
                 jnp.asarray(jnp.nan, dtype=self.rdtype))
 
     _capacity = None  # set per run by _control_arrays for stream_init

@@ -46,7 +46,9 @@ def lcmv_solve(r, c, inactive_diag=None):
     ric = jnp.einsum("...mk,...ks->...ms", inv, c)
     inner = jnp.einsum("...ms,...mk->...sk", jnp.conj(c), ric)
     if inactive_diag is not None:
-        inner = inner + jnp.diag(inactive_diag.astype(inner.dtype))
+        s = inner.shape[-1]
+        eye = jnp.eye(s, dtype=inner.dtype)
+        inner = inner + inactive_diag.astype(inner.dtype)[..., :, None] * eye
     w_all = jnp.einsum("...ms,...sk->...mk", ric, batched_inv(inner))
     return w_all[..., 0]
 
@@ -131,8 +133,9 @@ class LcmvModel:
     def stream_init(self):
         return (common.wola_carry_init(self.engine, self.geom.num_mics,
                                        self.rdtype),
-                jnp.zeros((self.params.past_windows, self.geom.num_mics,
-                           len(self.ib)), dtype=self.cdtype))
+                common.device_zeros((self.params.past_windows,
+                                     self.geom.num_mics, len(self.ib)),
+                                    self.cdtype))
 
     def _forward(self, x, u_theta, u_angles, u_active, u_row0, idx, state):
         p = self.params
@@ -144,6 +147,7 @@ class LcmvModel:
         inact = 1.0 - jnp.concatenate(
             [ones1, jnp.asarray(u_active, dtype=self.rdtype)], axis=1)
         m = self.geom.num_mics
+        w_hist = p.past_windows
         x_spec, tail = common.stft_ext_carry(x, self.engine, self.window,
                                              self.cdtype, carry.tail)
         mag = common.mag_mean_over_mics(x_spec, self.engine.fft_win)
@@ -152,19 +156,38 @@ class LcmvModel:
         mag_ib = mag[:, ib]
         wr = white_r(m, self.rdtype).astype(self.cdtype)
 
-        def step(hist, inp):
-            x_t, mag_t, u_t = inp
-            g = jnp.einsum("wmn,wkn->nmk", hist, jnp.conj(hist))
-            r = g * wr[None, :, :]
-            c = c_uniq[u_t]                                  # (Nib, M, S)
-            w0 = lcmv_solve(r, c, inact[u_t])                # (Nib, M)
-            y_bf = jnp.einsum("nm,mn->n", jnp.conj(w0), x_t)
-            y_pass = x_t[0, :] * 0.01
-            y_t = jnp.where(mag_t > p.freq_mag_threshold, y_bf, y_pass)
-            hist = jnp.concatenate([hist[1:], x_t[None]], axis=0)
-            return hist, y_t
+        # block-chunked sliding covariances (see MvdrModel._block_frames)
+        from beamform_tpu.models.mvdr import MvdrModel
+        t = x_ib.shape[0]
+        cb = MvdrModel._block_frames(self, t)
+        tpad = -(-t // cb) * cb
+        x_blk = jnp.pad(x_ib, ((0, tpad - t), (0, 0), (0, 0)))
+        mag_blk = jnp.pad(mag_ib, ((0, tpad - t), (0, 0)))
+        u_blk = jnp.pad(idx, (0, tpad - t))
+        x_blk = x_blk.reshape(tpad // cb, cb, m, -1)
+        mag_blk = mag_blk.reshape(tpad // cb, cb, -1)
+        u_blk = u_blk.reshape(tpad // cb, cb)
 
-        hist, y_ib = jax.lax.scan(step, hist0, (x_ib, mag_ib, idx))
+        def block_step(hist, inp):
+            xb, magb, ub = inp
+            ext = jnp.concatenate([hist, xb], axis=0)
+            o = jnp.einsum("tmn,tkn->tnmk", ext, jnp.conj(ext))
+            cs = jnp.cumsum(o, axis=0)
+            g = (cs[w_hist - 1:w_hist - 1 + cb]
+                 - jnp.concatenate([jnp.zeros_like(cs[:1]), cs[:cb - 1]],
+                                   axis=0))
+            r = g * wr[None, None, :, :]
+            c = c_uniq[ub]                                  # (CB, Nib, M, S)
+            w0 = lcmv_solve(r, c, inact[ub][:, None, :])    # (CB, Nib, M)
+            y_bf = jnp.einsum("tnm,tmn->tn", jnp.conj(w0), xb)
+            y_t = jnp.where(magb > p.freq_mag_threshold, y_bf,
+                            xb[:, 0, :] * 0.01)
+            return ext[cb:], y_t
+
+        hist, y_blk = jax.lax.scan(block_step, hist0,
+                                   (x_blk, mag_blk, u_blk))
+        y_ib = y_blk.reshape(tpad, -1)[:t]
+        hist = jnp.concatenate([hist0, x_ib], axis=0)[t:t + w_hist]
 
         y = jnp.zeros((x_spec.shape[0], x_spec.shape[2]), dtype=self.cdtype)
         y = y.at[:, ib].set(y_ib)

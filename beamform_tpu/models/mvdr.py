@@ -35,8 +35,22 @@ def white_r(m: int, rdtype):
 
 
 def batched_inv(a):
-    """Batched complex matrix inverse (replaces Eigen .inverse())."""
-    return jnp.linalg.inv(a)
+    """Batched complex matrix inverse (replaces Eigen .inverse()).
+
+    XLA's jnp.linalg.inv lowers through pivoted LU — no complex support on
+    TPU and ~100x too slow for tens of thousands of small matrices. The
+    MVDR/LCMV matrices are Hermitian positive (semi)definite after the
+    1.001 diagonal loading, so an unpivoted vectorized Gauss-Jordan
+    (kernels/linalg.py) is safe; one Newton-Schulz step
+    X <- X (2I - A X) — two batched MXU matmuls — polishes the float32
+    result to ~1e-6 relative. Singular cold-start covariances yield
+    inf/NaN, like the reference's Eigen garbage.
+    """
+    from beamform_tpu.kernels.linalg import gauss_jordan_inv
+    m = a.shape[-1]
+    inv = gauss_jordan_inv(a)
+    eye2 = 2.0 * jnp.eye(m, dtype=a.dtype)
+    return inv @ (eye2 - a @ inv)
 
 
 def mvdr_solve(r, d):
@@ -65,13 +79,26 @@ class MvdrModel:
     def stream_init(self):
         return (common.wola_carry_init(self.engine, self.geom.num_mics,
                                        self.rdtype),
-                jnp.zeros((self.params.past_windows, self.geom.num_mics,
-                           len(self.ib)), dtype=self.cdtype))
+                common.device_zeros((self.params.past_windows,
+                                     self.geom.num_mics, len(self.ib)),
+                                    self.cdtype))
+
+    def _block_frames(self, t: int) -> int:
+        """Frames per covariance block: the per-frame solves batch over
+        (CB * Nib) matrices so the TPU sees ~15 big launches instead of T
+        tiny sequential ones; CB is capped so the outer-product workspace
+        (CB+W, Nib, M, M) complex stays ~128 MB."""
+        m = self.geom.num_mics
+        w = self.params.past_windows
+        budget = 128e6 / (len(self.ib) * m * m * 8)
+        cb = max(8, min(128, int(budget) - w, t))
+        return cb
 
     def _forward(self, x, thetas, w_idx, state):
         p = self.params
         m = self.geom.num_mics
         n = self.engine.fft_win
+        w_hist = p.past_windows
         carry, hist0 = state
         x_spec, tail = common.stft_ext_carry(x, self.engine, self.window,
                                              self.cdtype, carry.tail)
@@ -84,20 +111,41 @@ class MvdrModel:
         d_ib = w_uniq[:, :, ib]                            # (U, M, Nib)
         wr = white_r(m, self.rdtype).astype(self.cdtype)
 
-        def step(hist, inp):
-            x_t, mag_t, u_t = inp                          # (M, Nib), (Nib,)
-            # R over the last W frames, bins batched: (Nib, M, M)
-            g = jnp.einsum("wmn,wkn->nmk", hist, jnp.conj(hist))
-            r = g * wr[None, :, :]
-            d = jnp.moveaxis(d_ib[u_t], 0, -1)             # (Nib, M)
-            w_opt = mvdr_solve(r, d)
-            y_bf = jnp.einsum("nm,mn->n", jnp.conj(w_opt), x_t)
-            y_pass = x_t[0, :] * 0.01
-            y_t = jnp.where(mag_t > p.freq_mag_threshold, y_bf, y_pass)
-            hist = jnp.concatenate([hist[1:], x_t[None]], axis=0)
-            return hist, y_t
+        t = x_ib.shape[0]
+        cb = self._block_frames(t)
+        tpad = -(-t // cb) * cb
+        x_blk = jnp.pad(x_ib, ((0, tpad - t), (0, 0), (0, 0)))
+        mag_blk = jnp.pad(mag_ib, ((0, tpad - t), (0, 0)))
+        u_blk = jnp.pad(w_idx, (0, tpad - t))
+        x_blk = x_blk.reshape(tpad // cb, cb, m, -1)
+        mag_blk = mag_blk.reshape(tpad // cb, cb, -1)
+        u_blk = u_blk.reshape(tpad // cb, cb)
 
-        hist, y_ib = jax.lax.scan(step, hist0, (x_ib, mag_ib, w_idx))
+        def block_step(hist, inp):
+            xb, magb, ub = inp                    # (CB, M, Nib), (CB, Nib)
+            ext = jnp.concatenate([hist, xb], axis=0)      # (W+CB, M, Nib)
+            # per-frame outer products, bins batched, then a sliding-window
+            # sum via cumsum difference: G[t] = sum of the W frames BEFORE
+            # frame t (the reference updates history after solving,
+            # mvdr.cpp:87,100-101)
+            o = jnp.einsum("tmn,tkn->tnmk", ext, jnp.conj(ext))
+            cs = jnp.cumsum(o, axis=0)
+            g = (cs[w_hist - 1:w_hist - 1 + cb]
+                 - jnp.concatenate([jnp.zeros_like(cs[:1]), cs[:cb - 1]],
+                                   axis=0))
+            r = g * wr[None, None, :, :]                   # (CB, Nib, M, M)
+            d = jnp.moveaxis(d_ib[ub], 1, -1)              # (CB, Nib, M)
+            w_opt = mvdr_solve(r, d)
+            y_bf = jnp.einsum("tnm,tmn->tn", jnp.conj(w_opt), xb)
+            y_t = jnp.where(magb > p.freq_mag_threshold, y_bf,
+                            xb[:, 0, :] * 0.01)
+            return ext[cb:], y_t
+
+        hist, y_blk = jax.lax.scan(block_step, hist0,
+                                   (x_blk, mag_blk, u_blk))
+        y_ib = y_blk.reshape(tpad, -1)[:t]
+        # state continuity: the history is simply the last W frames seen
+        hist = jnp.concatenate([hist0, x_ib], axis=0)[t:t + w_hist]
 
         y = jnp.zeros((x_spec.shape[0], x_spec.shape[2]),
                       dtype=self.cdtype)                      # (T, NB)

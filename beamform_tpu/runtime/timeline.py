@@ -121,8 +121,10 @@ def replay_interference_events(
 def static_interference(num_frames: int, angles: Sequence[float],
                         capacity: Optional[int] = None
                         ) -> InterferenceTimeline:
-    """A constant interference set (the config-YAML startup state)."""
-    cap = capacity if capacity is not None else max(len(angles), 1)
+    """A constant interference set (the config-YAML startup state).
+    Capacity defaults to exactly len(angles) — zero slots is valid (a pure
+    MVDR-like constraint set)."""
+    cap = capacity if capacity is not None else len(angles)
     return replay_interference_events(num_frames, angles, [], capacity=cap)
 
 
