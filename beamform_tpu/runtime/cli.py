@@ -83,6 +83,19 @@ def build_parser():
                                             "float32"), default="pcm16")
     p.add_argument("--report-json", action="store_true",
                    help="print a one-line JSON run report to stdout")
+    p.add_argument("--interference-events", default=None,
+                   metavar="SPEC",
+                   help="lcmv/gss: 'sec:id:angle,...' interference messages "
+                        "(the /theta_interference protocol); initial set "
+                        "comes from angle_interfN in the array config")
+    p.add_argument("--stream", type=int, default=None, metavar="FRAMES",
+                   help="process in streaming chunks of FRAMES hops "
+                        "(fixed-shape compiled step, O(1) memory) instead "
+                        "of one batch call; reports xruns")
+    p.add_argument("--save-state", default=None,
+                   help="checkpoint the streaming state to this .npz at end")
+    p.add_argument("--load-state", default=None,
+                   help="resume streaming state from a .npz checkpoint")
     return p
 
 
@@ -147,8 +160,65 @@ def main(argv=None) -> int:
     overrides = {k: _parse_value(v) for k, v in overrides.items()}
     model = get_model(args.node, engine, array_cfg, overrides)
 
+    interference = None
+    if args.interference_events:
+        from beamform_tpu.runtime.timeline import (
+            InterfEvent, replay_interference_events, MAX_INTERFERENCES)
+        events = []
+        for item in args.interference_events.split(","):
+            t_s, iid, a = item.split(":")
+            events.append(InterfEvent(frame=int(float(t_s) * fs / engine.hop),
+                                      id=int(iid), angle=float(a)))
+        thresh = overrides.get("interf_angle_threshold", 5.0)
+        interference = replay_interference_events(
+            num_frames, list(array_cfg.interference_angles), events,
+            threshold=float(thresh), capacity=MAX_INTERFERENCES)
+
+    kw = {}
+    if interference is not None:
+        if args.node not in ("lcmv", "gss"):
+            print("error: --interference-events only applies to lcmv/gss",
+                  file=sys.stderr)
+            return 2
+        kw["interference"] = interference
+
     t0 = time.perf_counter()
-    y = np.asarray(model.process(x, theta))
+    monitor = None
+    if args.stream:
+        from beamform_tpu.runtime.streaming import StreamingSession
+        from beamform_tpu.runtime.timeline import InterferenceTimeline
+        sess = StreamingSession(model, monitor=True)
+        if args.load_state:
+            sess.load(args.load_state)
+        chunk = args.stream * engine.hop
+        pad = (-x.shape[1]) % chunk
+        xp = np.pad(x, ((0, 0), (0, pad)))
+        outs = []
+        for i in range(0, xp.shape[1], chunk):
+            f0 = i // engine.hop
+            f1 = f0 + args.stream
+            if isinstance(theta, np.ndarray):
+                th = theta[f0:min(f1, len(theta))]
+                if len(th) == 0:     # trailing padded chunk: theta holds
+                    th = float(theta[-1])
+            else:
+                th = theta
+            if interference is not None:
+                tl = interference
+                tl_c = InterferenceTimeline(
+                    tl.angles[f0:f1], tl.active[f0:f1], tl.row0[f0:f1],
+                    tl.reset[f0:f1])
+                out_c, sess.state = sess.model.process_chunk(
+                    xp[:, i:i + chunk], th, sess.state, interference=tl_c)
+                outs.append(np.asarray(out_c))
+            else:
+                outs.append(np.asarray(sess.process(xp[:, i:i + chunk], th)))
+        y = np.concatenate(outs)[:x.shape[1] + (-x.shape[1]) % engine.hop]
+        monitor = sess.monitor
+        if args.save_state:
+            sess.save(args.save_state)
+    else:
+        y = np.asarray(model.process(x, theta, **kw))
     wall = time.perf_counter() - t0
     audio_sec = x.shape[1] / fs
     xrt = audio_sec / wall if wall > 0 else float("inf")
@@ -188,6 +258,8 @@ def main(argv=None) -> int:
         "wall_s": round(wall, 4), "xrt": round(xrt, 2),
         "clipped_samples": clip,
     }
+    if monitor is not None:
+        report["streaming"] = monitor.report()
     if args.report_json:
         print(json.dumps(report))
     else:
