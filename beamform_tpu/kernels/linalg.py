@@ -14,8 +14,13 @@ reference's Eigen ``.inverse()`` garbage.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 
 def gauss_jordan_inv(a):
@@ -47,3 +52,84 @@ def gauss_jordan_inv(a):
 
     _, inv = jax.lax.fori_loop(0, m, step, (a, inv0))
     return inv
+
+
+# ---------------------------------------------------------------------------
+# Pallas batched complex Gauss-Jordan: matrices live batch-on-lanes so the
+# whole elimination stays in VMEM/registers. The jnp version above reads and
+# writes the full (B, M, M) tensors from HBM on every elimination step
+# (~2*M passes); this kernel reads each matrix once and writes its inverse
+# once — ~M x less HBM traffic, which is the entire cost at these sizes.
+# Layout: (M, M, B) real + imag planes; each (i, j) entry is a lane vector
+# of TILE matrices, so every elimination step is pure elementwise VPU work
+# with static indexing (no Mosaic relayouts).
+# ---------------------------------------------------------------------------
+
+_GJ_TILE = 512
+
+
+def _gj_kernel(ar_ref, ai_ref, or_ref, oi_ref, mr_ref, mi_ref, *, m: int):
+    # State lives in refs: Mosaic cannot row-slice a *computed* value with a
+    # broadcast-derived layout, but slicing VMEM refs is always legal.
+    tile = ar_ref.shape[-1]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (m, m, tile), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (m, m, tile), 1)
+    mr_ref[:] = ar_ref[:]
+    mi_ref[:] = ai_ref[:]
+    or_ref[:] = jnp.where(rows == cols, 1.0, 0.0).astype(ar_ref.dtype)
+    oi_ref[:] = jnp.zeros((m, m, tile), dtype=ar_ref.dtype)
+
+    for i in range(m):
+        vr = mr_ref[i:i + 1, i:i + 1, :]
+        vi = mi_ref[i:i + 1, i:i + 1, :]
+        inv_den = 1.0 / (vr * vr + vi * vi)
+        # normalized pivot rows: row_i / pivot (complex division)
+        prr = (mr_ref[i:i + 1] * vr + mi_ref[i:i + 1] * vi) * inv_den
+        pri = (mi_ref[i:i + 1] * vr - mr_ref[i:i + 1] * vi) * inv_den
+        qrr = (or_ref[i:i + 1] * vr + oi_ref[i:i + 1] * vi) * inv_den
+        qri = (oi_ref[i:i + 1] * vr - or_ref[i:i + 1] * vi) * inv_den
+
+        is_piv = rows == i
+        fr = jnp.where(is_piv, 0.0, mr_ref[:, i:i + 1, :])
+        fi = jnp.where(is_piv, 0.0, mi_ref[:, i:i + 1, :])
+        # mat -= factor * pivot_row  (complex), pivot row := normalized
+        mr_ref[:] = jnp.where(is_piv, prr,
+                              mr_ref[:] - (fr * prr - fi * pri))
+        mi_ref[:] = jnp.where(is_piv, pri,
+                              mi_ref[:] - (fr * pri + fi * prr))
+        or_ref[:] = jnp.where(is_piv, qrr,
+                              or_ref[:] - (fr * qrr - fi * qri))
+        oi_ref[:] = jnp.where(is_piv, qri,
+                              oi_ref[:] - (fr * qri + fi * qrr))
+
+
+def gj_inverse_pallas(a, tile: int = _GJ_TILE, interpret: bool = False):
+    """Batched complex inverse on TPU: a (B, M, M) complex64 -> (B, M, M).
+
+    Pads B to a tile multiple (identity padding keeps the padded lanes
+    numerically quiet) and runs the lane-parallel Gauss-Jordan kernel.
+    """
+    b, m, _ = a.shape
+    bp = -(-b // tile) * tile
+    ar = jnp.moveaxis(a.real, 0, -1)
+    ai = jnp.moveaxis(a.imag, 0, -1)           # (M, M, B)
+    if bp != b:
+        eye = jnp.broadcast_to(jnp.eye(m, dtype=ar.dtype)[:, :, None],
+                               (m, m, bp - b))
+        ar = jnp.concatenate([ar, eye], axis=-1)
+        ai = jnp.concatenate([ai, jnp.zeros_like(eye)], axis=-1)
+
+    kernel = functools.partial(_gj_kernel, m=m)
+    spec = pl.BlockSpec((m, m, tile), lambda i: (0, 0, i),
+                        memory_space=pltpu.VMEM)
+    outr, outi = pl.pallas_call(
+        kernel,
+        grid=(bp // tile,),
+        in_specs=[spec, spec],
+        out_specs=[spec, spec],
+        out_shape=[jax.ShapeDtypeStruct((m, m, bp), ar.dtype)] * 2,
+        scratch_shapes=[pltpu.VMEM((m, m, tile), jnp.float32)] * 2,
+        interpret=interpret,
+    )(ar, ai)
+    out = jax.lax.complex(outr[:, :, :b], outi[:, :, :b])
+    return jnp.moveaxis(out, -1, 0)

@@ -27,6 +27,7 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from beamform_tpu.config import EngineConfig, GscParams
@@ -49,8 +50,11 @@ def gsc_init_state(num_mics: int, filter_size: int, rdtype) -> GscState:
     )
 
 
-def gsc_sample_step(state: GscState, a_t, p: GscParams):
-    """One sample of the adaptive stage. ``a_t``: (M,) aligned samples."""
+def gsc_sample_step(state: GscState, a_t, p: GscParams,
+                    with_mu: bool = False):
+    """One sample of the adaptive stage. ``a_t``: (M,) aligned samples.
+    With ``with_mu``, also emits (mu for the first blocking channel,
+    update-ran flag) — the reference's mu trace (gsc.cpp:171-174)."""
     k = state.block.shape[-1]
     das = jnp.mean(a_t)
     u_new = a_t[1:] - a_t[:-1]                          # blocking matrix
@@ -68,10 +72,14 @@ def gsc_sample_step(state: GscState, a_t, p: GscParams):
 
     filt_new = state.filt + mu[:, None] * out * block
     filt_new = jnp.where(jnp.isnan(filt_new), 0.0, filt_new)
+    upd = jnp.bool_(True)
     if p.use_vad:
         upd = last_pow < p.vad_threshold
         filt_new = jnp.where(upd, filt_new, state.filt)
-    return GscState(block, filt_new, last_out), out
+    st = GscState(block, filt_new, last_out)
+    if with_mu:
+        return st, (out, mu[0], upd)
+    return st, out
 
 
 class GscModel:
@@ -118,7 +126,8 @@ class GscModel:
         carry, gstate = state
         aligned, carry = self.aligned_streams(x, thetas, w_idx, carry)
 
-        if self._use_pallas(aligned.shape[-1]):
+        # the mu trace needs the per-sample scan (write_mu, gsc.cpp:181-184)
+        if self._use_pallas(aligned.shape[-1]) and not self.params.write_mu:
             from beamform_tpu.kernels.gsc_pallas import gsc_adaptive_pallas
             out, blk, flt, lo = gsc_adaptive_pallas(
                 aligned, gstate.block, gstate.filt, gstate.last_out,
@@ -126,17 +135,53 @@ class GscModel:
             return out, (carry, GscState(blk, flt, lo))
 
         def step(st, a_t):
-            return gsc_sample_step(st, a_t, self.params)
+            return gsc_sample_step(st, a_t, self.params,
+                                   with_mu=self.params.write_mu)
 
-        gstate, out = jax.lax.scan(step, gstate, jnp.moveaxis(aligned, 0, 1))
-        return out, (carry, gstate)
+        gstate, ys = jax.lax.scan(step, gstate, jnp.moveaxis(aligned, 0, 1))
+        if self.params.write_mu:
+            out, mu0, upd = ys
+            return out, (carry, gstate), (mu0, upd)
+        return ys, (carry, gstate)
 
     def process_chunk(self, x_chunk, theta, state):
         x = jnp.asarray(x_chunk, dtype=self.rdtype)
         t = x.shape[-1] // self.engine.hop
         th = common.theta_per_frame(theta, t)
         uniq, w_idx = common.unique_thetas(th)
-        return self._jit(x, uniq.astype(self.np_r), w_idx, state)
+        res = self._jit(x, uniq.astype(self.np_r), w_idx, state)
+        if self.params.write_mu:
+            out, state, (mu0, upd) = res
+            self._write_mu_trace(np.asarray(mu0), np.asarray(upd))
+            return out, state
+        return res
+
+    def _write_mu_trace(self, mu0, upd):
+        """Per-callback mean-mu log (gsc.cpp:146-184): accumulate mu of the
+        first blocking channel over each hop's updated samples; a VAD-gated
+        sample overwrites the running sum with the previous callback's value.
+        Appends one line per hop to ``self.mu_file_path``
+        (~/mu_behavior.txt in the reference)."""
+        import os
+        hop = self.engine.hop
+        path = getattr(self, "mu_file_path", None) or os.path.expanduser(
+            "~/mu_behavior.txt")
+        last_avg = getattr(self, "_last_avg_mu", 0.0)
+        lines = []
+        for f in range(len(mu0) // hop):
+            avg = 0.0
+            for j in range(hop):
+                if upd[f * hop + j]:
+                    avg += float(mu0[f * hop + j])
+                else:
+                    avg = last_avg
+            lines.append(f"{avg / hop:f}\n")
+            last_avg = avg
+        self._last_avg_mu = last_avg
+        mode = "a" if getattr(self, "_mu_file_started", False) else "w"
+        with open(path, mode) as fh:
+            fh.writelines(lines)
+        self._mu_file_started = True
 
     def process(self, x, theta=0.0):
         x = common.prepare_input(x, self.engine, self.rdtype)

@@ -168,14 +168,16 @@ class LcmvModel:
         mag_blk = mag_blk.reshape(tpad // cb, cb, -1)
         u_blk = u_blk.reshape(tpad // cb, cb)
 
+        # banded selector matmul; see MvdrModel._forward
+        band = (jnp.tri(cb, cb + w_hist, w_hist - 1, dtype=self.rdtype)
+                - jnp.tri(cb, cb + w_hist, -1, dtype=self.rdtype))
+
         def block_step(hist, inp):
             xb, magb, ub = inp
             ext = jnp.concatenate([hist, xb], axis=0)
             o = jnp.einsum("tmn,tkn->tnmk", ext, jnp.conj(ext))
-            cs = jnp.cumsum(o, axis=0)
-            g = (cs[w_hist - 1:w_hist - 1 + cb]
-                 - jnp.concatenate([jnp.zeros_like(cs[:1]), cs[:cb - 1]],
-                                   axis=0))
+            g = jnp.einsum("ct,tnmk->cnmk", band.astype(o.dtype), o,
+                           precision=jax.lax.Precision.HIGHEST)
             r = g * wr[None, None, :, :]
             c = c_uniq[ub]                                  # (CB, Nib, M, S)
             w0 = lcmv_solve(r, c, inact[ub][:, None, :])    # (CB, Nib, M)

@@ -92,10 +92,13 @@ class McraModel:
                  params: McraParams = McraParams(), interference_angles=()):
         self.engine, self.geom, self.params = engine, geom, params
         self.rdtype, self.cdtype = common.dtypes_of(engine)
+        import numpy as _np
+        self.np_r = _np.float64 if engine.dtype == "float64" else _np.float32
         self.window = common.make_window(engine, self.rdtype)
         self._jit = jax.jit(self._forward)
 
-    def _forward(self, x, state):
+    def _forward(self, x, thetas, w_idx, state):
+        del thetas, w_idx  # mcra has no steering (mcra.cpp)
         p = self.params
         carry, mstate = state
         spec, tail = common.stft_ext_carry(x[:1], self.engine, self.window,
@@ -129,7 +132,10 @@ class McraModel:
 
     def process_chunk(self, x_chunk, theta, state):
         x = jnp.asarray(x_chunk, dtype=self.rdtype)
-        return self._jit(x, state)
+        t = x.shape[-1] // self.engine.hop
+        import numpy as _np
+        return self._jit(x, _np.zeros(1, self.np_r),
+                         _np.zeros(t, _np.int32), state)
 
     def process(self, x, theta=0.0):
         x = common.prepare_input(x, self.engine, self.rdtype)

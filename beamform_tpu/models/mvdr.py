@@ -46,9 +46,22 @@ def batched_inv(a):
     result to ~1e-6 relative. Singular cold-start covariances yield
     inf/NaN, like the reference's Eigen garbage.
     """
-    from beamform_tpu.kernels.linalg import gauss_jordan_inv
+    from beamform_tpu.kernels.linalg import (
+        gauss_jordan_inv, gj_inverse_pallas)
+    from beamform_tpu.models.common import use_mxu_fft
     m = a.shape[-1]
-    inv = gauss_jordan_inv(a)
+    lead = a.shape[:-2]
+    b = int(np.prod(lead)) if lead else 1
+    try:
+        import jax as _jax
+        on_tpu = _jax.default_backend() == "tpu"
+    except Exception:
+        on_tpu = False
+    if (on_tpu and jnp.issubdtype(a.dtype, jnp.complexfloating)
+            and a.dtype == jnp.complex64 and m <= 64 and b >= 2048):
+        inv = gj_inverse_pallas(a.reshape((b, m, m))).reshape(a.shape)
+    else:
+        inv = gauss_jordan_inv(a)
     eye2 = 2.0 * jnp.eye(m, dtype=a.dtype)
     return inv @ (eye2 - a @ inv)
 
@@ -121,18 +134,19 @@ class MvdrModel:
         mag_blk = mag_blk.reshape(tpad // cb, cb, -1)
         u_blk = u_blk.reshape(tpad // cb, cb)
 
+        # sliding-window selector: G[t] = sum of the W frames BEFORE frame t
+        # (the reference updates history after solving, mvdr.cpp:87,100-101)
+        # — as a banded 0/1 matmul over the frame axis (one MXU pass beats a
+        # cumsum's many HBM sweeps over the outer-product tensor)
+        band = (jnp.tri(cb, cb + w_hist, w_hist - 1, dtype=self.rdtype)
+                - jnp.tri(cb, cb + w_hist, -1, dtype=self.rdtype))
+
         def block_step(hist, inp):
             xb, magb, ub = inp                    # (CB, M, Nib), (CB, Nib)
             ext = jnp.concatenate([hist, xb], axis=0)      # (W+CB, M, Nib)
-            # per-frame outer products, bins batched, then a sliding-window
-            # sum via cumsum difference: G[t] = sum of the W frames BEFORE
-            # frame t (the reference updates history after solving,
-            # mvdr.cpp:87,100-101)
             o = jnp.einsum("tmn,tkn->tnmk", ext, jnp.conj(ext))
-            cs = jnp.cumsum(o, axis=0)
-            g = (cs[w_hist - 1:w_hist - 1 + cb]
-                 - jnp.concatenate([jnp.zeros_like(cs[:1]), cs[:cb - 1]],
-                                   axis=0))
+            g = jnp.einsum("ct,tnmk->cnmk", band.astype(o.dtype), o,
+                           precision=jax.lax.Precision.HIGHEST)
             r = g * wr[None, None, :, :]                   # (CB, Nib, M, M)
             d = jnp.moveaxis(d_ib[ub], 1, -1)              # (CB, Nib, M)
             w_opt = mvdr_solve(r, d)

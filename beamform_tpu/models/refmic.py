@@ -27,6 +27,8 @@ class RefModel:
                  params: DasParams = DasParams(), interference_angles=()):
         self.engine = engine
         self.rdtype, _ = common.dtypes_of(engine)
+        import numpy as _np
+        self.np_r = _np.float64 if engine.dtype == "float64" else _np.float32
         self.window = common.make_window(engine, self.rdtype)
         self._jit = jax.jit(self._forward)
 
@@ -35,7 +37,8 @@ class RefModel:
         return common.WolaCarry(jnp.zeros((h,), dtype=self.rdtype),
                                 jnp.zeros((h,), dtype=self.rdtype))
 
-    def _forward(self, x, carry: common.WolaCarry):
+    def _forward(self, x, thetas, w_idx, carry: common.WolaCarry):
+        del thetas, w_idx  # no steering (jack_ref.cpp)
         frames, tail = frame_signal_carry(x[0], self.engine.hop, carry.tail)
         p = frames * self.window * self.window           # hann^2, no FFT
         out, prev = overlap_add_carry(p, self.engine.hop, carry.out_prev)
@@ -45,7 +48,10 @@ class RefModel:
         x = jnp.asarray(x_chunk, dtype=self.rdtype)
         if x.ndim == 1:
             x = x[None, :]
-        return self._jit(x, state)
+        import numpy as _np
+        t = x.shape[-1] // self.engine.hop
+        return self._jit(x, _np.zeros(1, self.np_r),
+                         _np.zeros(t, _np.int32), state)
 
     def process(self, x, theta=0.0):
         x = common.prepare_input(x, self.engine, self.rdtype)
@@ -60,12 +66,15 @@ class ReadModel:
                  params: DasParams = DasParams(), interference_angles=()):
         self.engine = engine
         self.rdtype, _ = common.dtypes_of(engine)
+        import numpy as _np
+        self.np_r = _np.float64 if engine.dtype == "float64" else _np.float32
         self._jit = jax.jit(self._forward)
 
     def stream_init(self):
         return jnp.int32(-1)    # max_mic_past (jack_read.cpp:8)
 
-    def _forward(self, x, past):
+    def _forward(self, x, thetas, w_idx, past):
+        del thetas, w_idx  # no steering (jack_read.cpp)
         h = self.engine.hop
         m, s = x.shape
         wins = x.reshape(m, s // h, h)
@@ -88,7 +97,10 @@ class ReadModel:
 
     def process_chunk(self, x_chunk, theta, state):
         x = jnp.asarray(x_chunk, dtype=self.rdtype)
-        return self._jit(x, state)
+        import numpy as _np
+        t = x.shape[-1] // self.engine.hop
+        return self._jit(x, _np.zeros(1, self.np_r),
+                         _np.zeros(t, _np.int32), state)
 
     def process(self, x, theta=0.0):
         x = common.prepare_input(x, self.engine, self.rdtype)

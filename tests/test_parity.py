@@ -213,3 +213,40 @@ def test_float32_within_baseline_tolerance():
     o = on.DasOracle(AIRA3, HOP, FS, THETA)
     ref = run_oracle(o, x, HOP)
     assert np.max(np.abs(np.asarray(y) - ref)) < 1e-3
+
+
+def test_gsc_write_mu_trace(tmp_path):
+    """The reference's ~/mu_behavior.txt trace: one mean-mu line per hop
+    (gsc.cpp:181-184), faithful accumulate-or-overwrite fold."""
+    from beamform_tpu.config import GscParams
+    x = scene(seconds=0.1)
+    params = dict(mu0=0.0001, mu_max=0.1, filter_size=16, write_mu=True)
+    model = GscModel(engine(), geom(), GscParams(**params))
+    model.mu_file_path = str(tmp_path / "mu.txt")
+    y = model.process(x, THETA)
+    lines = open(model.mu_file_path).read().strip().splitlines()
+    assert len(lines) == x.shape[1] // HOP
+    vals = [float(v) for v in lines]
+    assert all(np.isfinite(v) for v in vals)
+    assert any(v != 0 for v in vals)
+
+
+def test_quirk_flags_change_output():
+    """The corrected-behavior switches are live: exact freqs and a real DC
+    bin produce different (finite) output from the faithful defaults."""
+    x = scene(seconds=0.1)
+    e_faithful = engine()
+    e_exact = EngineConfig(sample_rate=FS, window_size=HOP, dtype="float64",
+                           exact_freqs=True, bug_dc_zero=False)
+    y0 = np.asarray(DasModel(e_faithful, geom()).process(x, THETA))
+    y1 = np.asarray(DasModel(e_exact, geom()).process(x, THETA))
+    assert np.isfinite(y1).all()
+    assert np.max(np.abs(y0 - y1)) > 1e-9  # freq quirk affects DAS weights
+
+    from beamform_tpu.config import McraParams
+    m0 = McraModel(e_faithful, geom(), McraParams(L=10))
+    m1 = McraModel(e_exact, geom(), McraParams(L=10))
+    z0 = np.asarray(m0.process(x))
+    z1 = np.asarray(m1.process(x))
+    assert np.isfinite(z1).all()
+    assert np.max(np.abs(z0 - z1)) > 1e-12  # DC bin now passes through
