@@ -38,7 +38,13 @@ class GradientDoa:
     mu: float = 25.0
     num_win: int = 50
     vad_threshold: float = 0.001
-    energy_mode: str = "hist"   # "hist" (faithful) | "rms" (spec variant)
+    # "hist": Freedman-Diaconis histogram expected value (energy2theta.py's
+    #         active objective);
+    # "rms":  plain deque rms (the active objective of energy2theta-diff.py
+    #         and one of energy2theta-spec.py's variants);
+    # "spec": spectrogram magnitude mean (energy2theta-spec.py's
+    #         spectrogram-energy experiment, scripts/energy2theta-spec.py)
+    energy_mode: str = "hist"
     sign: float = +1.0          # ascent
 
     _windows: deque = field(default_factory=deque)
@@ -50,6 +56,10 @@ class GradientDoa:
                                       for w in self._windows]))
         if self.energy_mode == "rms":
             return float(np.sqrt(np.mean(data ** 2)))
+        if self.energy_mode == "spec":
+            n = min(512, len(data))
+            frames = data[:len(data) // n * n].reshape(-1, n)
+            return float(np.abs(np.fft.rfft(frames, axis=-1)).mean())
         if self._hist_bins is None:
             vals, bins = np.histogram(data, "fd")
             self._hist_bins = bins

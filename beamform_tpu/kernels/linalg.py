@@ -102,6 +102,31 @@ def _gj_kernel(ar_ref, ai_ref, or_ref, oi_ref, mr_ref, mi_ref, *, m: int):
         oi_ref[:] = jnp.where(is_piv, qri,
                               oi_ref[:] - (fr * qri + fi * qrr))
 
+    # Newton-Schulz polish in-kernel (X <- X (2I - A X)): per-matrix matmuls
+    # as k-loops of ref-sliced rank-1 updates — everything stays in VMEM.
+    tr = jnp.where(rows == cols, 2.0, 0.0).astype(ar_ref.dtype)
+    ti = jnp.zeros((m, m, tile), dtype=ar_ref.dtype)
+    for kk in range(m):
+        acr = ar_ref[:, kk:kk + 1, :]
+        aci = ai_ref[:, kk:kk + 1, :]
+        xrr = or_ref[kk:kk + 1, :, :]
+        xri = oi_ref[kk:kk + 1, :, :]
+        tr = tr - (acr * xrr - aci * xri)
+        ti = ti - (acr * xri + aci * xrr)
+    mr_ref[:] = tr     # reuse the elimination scratch for T = 2I - A X
+    mi_ref[:] = ti
+    xr = jnp.zeros((m, m, tile), dtype=ar_ref.dtype)
+    xi = jnp.zeros((m, m, tile), dtype=ar_ref.dtype)
+    for kk in range(m):
+        xcr = or_ref[:, kk:kk + 1, :]
+        xci = oi_ref[:, kk:kk + 1, :]
+        trr = mr_ref[kk:kk + 1, :, :]
+        tri = mi_ref[kk:kk + 1, :, :]
+        xr = xr + (xcr * trr - xci * tri)
+        xi = xi + (xcr * tri + xci * trr)
+    or_ref[:] = xr
+    oi_ref[:] = xi
+
 
 def gj_inverse_pallas(a, tile: int = _GJ_TILE, interpret: bool = False):
     """Batched complex inverse on TPU: a (B, M, M) complex64 -> (B, M, M).

@@ -65,6 +65,20 @@ def ext_bins(nfft: int) -> int:
     return nfft // 2 + 2
 
 
+def on_tpu_device() -> bool:
+    """True when computation actually lands on a TPU. ``default_backend()``
+    alone is wrong under the axon plugin, which reports 'tpu' even when the
+    default device has been pinned to CPU (as the test suite does)."""
+    try:
+        import jax
+        dd = jax.config.jax_default_device
+        if dd is not None:
+            return dd.platform == "tpu"
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 def use_mxu_fft(engine: EngineConfig) -> bool:
     """Pick the matmul (MXU) FFT on TPU backends where it beats XLA's FFT
     lowering by ~3x; keep XLA's FFT on CPU and for float64."""
@@ -73,11 +87,7 @@ def use_mxu_fft(engine: EngineConfig) -> bool:
     n = engine.fft_win
     if n % 128 != 0 or (n // 128) % 2 != 0:
         return False
-    try:
-        import jax
-        return jax.default_backend() == "tpu"
-    except Exception:
-        return False
+    return on_tpu_device()
 
 
 def _rfft(frames, engine: EngineConfig):

@@ -48,20 +48,15 @@ def batched_inv(a):
     """
     from beamform_tpu.kernels.linalg import (
         gauss_jordan_inv, gj_inverse_pallas)
-    from beamform_tpu.models.common import use_mxu_fft
     m = a.shape[-1]
     lead = a.shape[:-2]
     b = int(np.prod(lead)) if lead else 1
-    try:
-        import jax as _jax
-        on_tpu = _jax.default_backend() == "tpu"
-    except Exception:
-        on_tpu = False
-    if (on_tpu and jnp.issubdtype(a.dtype, jnp.complexfloating)
+    from beamform_tpu.models.common import on_tpu_device
+    if (on_tpu_device() and jnp.issubdtype(a.dtype, jnp.complexfloating)
             and a.dtype == jnp.complex64 and m <= 64 and b >= 2048):
-        inv = gj_inverse_pallas(a.reshape((b, m, m))).reshape(a.shape)
-    else:
-        inv = gauss_jordan_inv(a)
+        # Newton polish happens inside the kernel
+        return gj_inverse_pallas(a.reshape((b, m, m))).reshape(a.shape)
+    inv = gauss_jordan_inv(a)
     eye2 = 2.0 * jnp.eye(m, dtype=a.dtype)
     return inv @ (eye2 - a @ inv)
 

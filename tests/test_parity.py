@@ -250,3 +250,36 @@ def test_quirk_flags_change_output():
     z1 = np.asarray(m1.process(x))
     assert np.isfinite(z1).all()
     assert np.max(np.abs(z0 - z1)) > 1e-12  # DC bin now passes through
+
+
+@pytest.mark.parametrize("name", ["das", "phase", "mcra", "phasempf",
+                                  "mvdr", "lcmv", "gss", "gsc"])
+def test_float32_deviation_budget(name):
+    """BASELINE.md: <= 1e-3 max sample deviation vs the (f64) reference
+    math for every beamformer on the float32 compute path."""
+    x = scene(seconds=0.25, quiet_hops=8)
+    e32 = EngineConfig(sample_rate=FS, window_size=HOP, dtype="float32")
+    e64 = engine()
+    params = {
+        "das": {}, "phase": {},
+        "mcra": dict(L=10, out_only_noise=False),
+        "phasempf": dict(min_phase=30.0, min_mag=0.05, smooth_size=3,
+                         MCRA_L=10),
+        "mvdr": MVDR_PARAMS,
+        "lcmv": dict(past_windows=6, freq_mag_threshold=0.0008,
+                     freq_max=16000.0, freq_min=100.0, out_amp=1.0),
+        "gss": dict(freq_mag_threshold=0.0008, freq_max=16000.0,
+                    freq_min=100.0, out_amp=0.1, mu=0.001),
+        "gsc": dict(mu0=0.0001, mu_max=0.1, filter_size=16),
+    }[name]
+    from beamform_tpu.config import parse_array_config
+    doc = {f"mic{i}": {"id": i, "x": xx, "y": yy}
+           for i, (xx, yy) in enumerate(AIRA3)}
+    if name in ("lcmv", "gss"):
+        doc["angle_interf1"] = 70.0
+    cfg = parse_array_config(doc)
+    y32 = np.asarray(get_model(name, e32, cfg, params).process(x, THETA))
+    y64 = np.asarray(get_model(name, e64, cfg, params).process(x, THETA))
+    dev = np.max(np.abs(y32 - y64))
+    assert np.isfinite(y32).all()
+    assert dev < 1e-3, dev
