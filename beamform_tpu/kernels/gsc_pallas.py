@@ -49,29 +49,38 @@ def _kernel(in_ref, blk_in, flt_in, lo_in,
     # input register (the current sample is always column 0), and (c)
     # drains outputs as whole 128-lane rows straight from the last-outputs
     # register (its newest 128 entries are exactly the next output row).
+    # Cross-lane reductions are the dominant per-sample cost, so the power
+    # estimates use O(1) running sums of squares (add the entering sample,
+    # subtract the leaving one), refreshed EXACTLY at every 128-sample
+    # subtile boundary to bound float32 drift. Keep the (M-1) axis on
+    # sublanes throughout (keepdims) — a lane->sublane transpose of a short
+    # vector is a Mosaic relayout trap.
     lane_b = jax.lax.broadcasted_iota(jnp.int32, (m - 1, k), 1)
     lane_o = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
 
-    def sample_step(j, cur):
+    def sample_step(j, carry):
+        cur, bsq, osq = carry                         # running sums of sq.
         a = cur[:, 0:1]                               # (M, 1) this sample
         das = jnp.sum(a) / m
         u_new = a[1:, :] - a[:-1, :]                  # (M-1, 1)
 
         # shift registers: left-shift by one == roll right by K-1
         # (pltpu.roll requires non-negative shifts); newest in last column
+        b_old = blk[:, 0:1]
         blk[:] = jnp.where(lane_b == k - 1, u_new,
                            pltpu.roll(blk[:], k - 1, 1))
         b = blk[:]
+        bsq = bsq + u_new * u_new - b_old * b_old
 
-        # keep the (M-1) axis on sublanes throughout (keepdims) — a lane->
-        # sublane transpose of a short vector is a Mosaic relayout trap
         block_out = jnp.sum(flt[:] * b, axis=1, keepdims=True)  # (M-1, 1)
         out = das - jnp.sum(block_out)
 
+        o_old = lo[0:1, 0:1]
         lo[:] = jnp.where(lane_o == k - 1, out, pltpu.roll(lo[:], k - 1, 1))
+        osq = osq + out * out - o_old * o_old
 
-        last_pow = jnp.sqrt(jnp.sum(lo[:] ** 2) * kinv)
-        block_pow = jnp.sqrt(jnp.sum(b ** 2, axis=1, keepdims=True) * kinv)
+        last_pow = jnp.sqrt(jnp.maximum(osq, 0.0) * kinv)
+        block_pow = jnp.sqrt(jnp.maximum(bsq, 0.0) * kinv)      # (M-1, 1)
 
         ratio = params.mu0 * block_pow / last_pow               # (M-1, 1)
         mu = jnp.where(ratio < params.mu_max, params.mu0 / last_pow,
@@ -84,12 +93,19 @@ def _kernel(in_ref, blk_in, flt_in, lo_in,
             flt_new = jnp.where(last_pow < params.vad_threshold, flt_new,
                                 flt[:])
         flt[:] = flt_new
-        return pltpu.roll(cur, 127, 1)                # next sample to col 0
+        return (pltpu.roll(cur, 127, 1),              # next sample to col 0
+                bsq, osq)
 
+    bsq = jnp.sum(blk[:] ** 2, axis=1, keepdims=True)   # (M-1, 1)
+    osq = jnp.sum(lo[:] ** 2, axis=1, keepdims=True)    # (1, 1)
     for sub in range(chunk // 128):                   # static subtile loop
         tile = in_ref[:, sub * 128:(sub + 1) * 128]   # (M, 128), static
-        jax.lax.fori_loop(0, 128, sample_step, tile)
+        _, bsq, osq = jax.lax.fori_loop(0, 128, sample_step,
+                                        (tile, bsq, osq))
         out_ref[sub, :] = lo[0, k - 128:k]
+        # exact refresh bounds the running-sum drift per subtile
+        bsq = jnp.sum(blk[:] ** 2, axis=1, keepdims=True)
+        osq = jnp.sum(lo[:] ** 2, axis=1, keepdims=True)
 
     @pl.when(step == nsteps - 1)
     def _():
