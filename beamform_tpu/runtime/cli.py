@@ -243,7 +243,14 @@ def main(argv=None) -> int:
         out_path = rosjack.write_file_path
     if out_path is None:
         out_path = args.input + f".{args.node}.wav"
-    wav_io.write_wav(out_path, y, out_fs, fmt=args.out_format)
+    try:
+        wav_io.write_wav(out_path, y, out_fs, fmt=args.out_format)
+    except OSError as e:
+        # degrade like the reference: warn and continue without file output
+        # (rosjack.cpp:199-203)
+        print(f"warning: could not open {out_path} for writing ({e}); "
+              "continuing without file output", file=sys.stderr)
+        out_path = None
 
     clip = int(np.sum(np.abs(y) >= 1.0))
     if clip:
