@@ -5,15 +5,20 @@ output sample feeds the next filter update. As a ``lax.scan`` over samples
 every step pays XLA loop overhead for a few hundred FLOPs of work; this
 kernel runs the whole recurrence on-core — the grid walks sample-chunks
 (TPU grids execute sequentially), the filter state lives in VMEM scratch
-across grid steps, and each sample is a handful of (M-1, K) VPU ops:
+across grid steps, and each sample is a handful of VPU ops.
 
-  - blocking-matrix shift register:  static lane-roll + set last column
-  - FIR output:                      one multiply + lane reduction
-  - powers:                          lane reductions over the registers
-  - dynamic-mu LMS update with the reference's NaN/Inf scrubbing
+The kernel is natively BATCHED over independent streams: per-sample cost is
+dominated by instruction issue (rolls, selects, sqrt), not VPU throughput,
+so stacking B streams on the sublane axis of every register amortizes the
+overhead across the batch — the production multi-stream serving path.
 
-Bit-for-bit identical to the lax.scan formulation (verified in tests via
-interpret mode and on-device).
+Mosaic constraints shape the implementation (see inline notes): vector-only
+VMEM stores, tile-aligned dynamic offsets (static subtiles + rolling input
+registers), state in scratch refs, no short-vector lane<->sublane
+transposes, and O(1) running power sums refreshed exactly every 128 samples.
+
+Bit-matched against the lax.scan formulation in interpret mode and on
+device (~4e-8).
 """
 
 from __future__ import annotations
@@ -30,7 +35,8 @@ from beamform_tpu.config import GscParams
 
 def _kernel(in_ref, blk_in, flt_in, lo_in,
             out_ref, blk_out, flt_out, lo_out,
-            blk, flt, lo, *, params: GscParams, chunk: int, m: int):
+            blk, flt, lo, *, params: GscParams, chunk: int, m: int,
+            batch: int):
     step = pl.program_id(0)
     nsteps = pl.num_programs(0)
     k = blk.shape[-1]
@@ -42,47 +48,35 @@ def _kernel(in_ref, blk_in, flt_in, lo_in,
         lo[:] = lo_in[:]
 
     kinv = 1.0 / k
-    # Mosaic constraints shape this loop: VMEM stores must be vectors, and
-    # dynamic lane/sublane offsets must be provably tile-aligned. So the
-    # kernel (a) updates registers with full-array selects on a lane iota,
-    # (b) walks each statically-sliced 128-sample subtile with a ROLLING
-    # input register (the current sample is always column 0), and (c)
-    # drains outputs as whole 128-lane rows straight from the last-outputs
-    # register (its newest 128 entries are exactly the next output row).
-    # Cross-lane reductions are the dominant per-sample cost, so the power
-    # estimates use O(1) running sums of squares (add the entering sample,
-    # subtract the leaving one), refreshed EXACTLY at every 128-sample
-    # subtile boundary to bound float32 drift. Keep the (M-1) axis on
-    # sublanes throughout (keepdims) — a lane->sublane transpose of a short
-    # vector is a Mosaic relayout trap.
-    lane_b = jax.lax.broadcasted_iota(jnp.int32, (m - 1, k), 1)
-    lane_o = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
+    lane_b = jax.lax.broadcasted_iota(jnp.int32, (batch, m - 1, k), 2)
+    lane_o = jax.lax.broadcasted_iota(jnp.int32, (batch, 1, k), 2)
 
     def sample_step(j, carry):
-        cur, bsq, osq = carry                         # running sums of sq.
-        a = cur[:, 0:1]                               # (M, 1) this sample
-        das = jnp.sum(a) / m
-        u_new = a[1:, :] - a[:-1, :]                  # (M-1, 1)
+        cur, bsq, osq = carry                     # running sums of squares
+        a = cur[:, :, 0:1]                        # (B, M, 1) this sample
+        das = jnp.sum(a, axis=1, keepdims=True) / m       # (B, 1, 1)
+        u_new = a[:, 1:, :] - a[:, :-1, :]                # (B, M-1, 1)
 
         # shift registers: left-shift by one == roll right by K-1
         # (pltpu.roll requires non-negative shifts); newest in last column
-        b_old = blk[:, 0:1]
+        b_old = blk[:, :, 0:1]
         blk[:] = jnp.where(lane_b == k - 1, u_new,
-                           pltpu.roll(blk[:], k - 1, 1))
+                           pltpu.roll(blk[:], k - 1, 2))
         b = blk[:]
         bsq = bsq + u_new * u_new - b_old * b_old
 
-        block_out = jnp.sum(flt[:] * b, axis=1, keepdims=True)  # (M-1, 1)
-        out = das - jnp.sum(block_out)
+        block_out = jnp.sum(flt[:] * b, axis=2, keepdims=True)  # (B,M-1,1)
+        out = das - jnp.sum(block_out, axis=1, keepdims=True)   # (B,1,1)
 
-        o_old = lo[0:1, 0:1]
-        lo[:] = jnp.where(lane_o == k - 1, out, pltpu.roll(lo[:], k - 1, 1))
+        o_old = lo[:, 0:1, 0:1]
+        lo[:] = jnp.where(lane_o == k - 1, out,
+                          pltpu.roll(lo[:], k - 1, 2))
         osq = osq + out * out - o_old * o_old
 
-        last_pow = jnp.sqrt(jnp.maximum(osq, 0.0) * kinv)
-        block_pow = jnp.sqrt(jnp.maximum(bsq, 0.0) * kinv)      # (M-1, 1)
+        last_pow = jnp.sqrt(jnp.maximum(osq, 0.0) * kinv)        # (B,1,1)
+        block_pow = jnp.sqrt(jnp.maximum(bsq, 0.0) * kinv)       # (B,M-1,1)
 
-        ratio = params.mu0 * block_pow / last_pow               # (M-1, 1)
+        ratio = params.mu0 * block_pow / last_pow
         mu = jnp.where(ratio < params.mu_max, params.mu0 / last_pow,
                        params.mu0 / block_pow)
         mu = jnp.where(jnp.isnan(mu) | jnp.isinf(mu), 0.0, mu)
@@ -93,19 +87,21 @@ def _kernel(in_ref, blk_in, flt_in, lo_in,
             flt_new = jnp.where(last_pow < params.vad_threshold, flt_new,
                                 flt[:])
         flt[:] = flt_new
-        return (pltpu.roll(cur, 127, 1),              # next sample to col 0
+        return (pltpu.roll(cur, 127, 2),          # next sample to column 0
                 bsq, osq)
 
-    bsq = jnp.sum(blk[:] ** 2, axis=1, keepdims=True)   # (M-1, 1)
-    osq = jnp.sum(lo[:] ** 2, axis=1, keepdims=True)    # (1, 1)
-    for sub in range(chunk // 128):                   # static subtile loop
-        tile = in_ref[:, sub * 128:(sub + 1) * 128]   # (M, 128), static
+    bsq = jnp.sum(blk[:] ** 2, axis=2, keepdims=True)
+    osq = jnp.sum(lo[:] ** 2, axis=2, keepdims=True)
+    for sub in range(chunk // 128):               # static subtile loop
+        tile = in_ref[:, :, sub * 128:(sub + 1) * 128]   # (B, M, 128)
         _, bsq, osq = jax.lax.fori_loop(0, 128, sample_step,
                                         (tile, bsq, osq))
-        out_ref[sub, :] = lo[0, k - 128:k]
+        # the newest 128 entries of the last-outputs register ARE the next
+        # output row for every stream (ascending order)
+        out_ref[:, sub, :] = lo[:, 0, k - 128:k]
         # exact refresh bounds the running-sum drift per subtile
-        bsq = jnp.sum(blk[:] ** 2, axis=1, keepdims=True)
-        osq = jnp.sum(lo[:] ** 2, axis=1, keepdims=True)
+        bsq = jnp.sum(blk[:] ** 2, axis=2, keepdims=True)
+        osq = jnp.sum(lo[:] ** 2, axis=2, keepdims=True)
 
     @pl.when(step == nsteps - 1)
     def _():
@@ -114,57 +110,69 @@ def _kernel(in_ref, blk_in, flt_in, lo_in,
         lo_out[:] = lo[:]
 
 
-def gsc_adaptive_pallas(aligned, block, filt, last_out, params: GscParams,
-                        chunk: int = 1024, interpret: bool = False):
-    """Run the full adaptive stage.
+def gsc_adaptive_pallas_batched(aligned, block, filt, last_out,
+                                params: GscParams, chunk: int = 1024,
+                                interpret: bool = False):
+    """Run the adaptive stage for a batch of streams.
 
-    aligned: (M, S) float32 with S % chunk == 0; block/filt: (M-1, K);
-    last_out: (K,). Returns (out (S,), block', filt', last_out').
+    aligned: (B, M, S) float32 with S % chunk == 0; block/filt: (B, M-1, K);
+    last_out: (B, K). Returns (out (B, S), block', filt', last_out').
     """
-    m, s = aligned.shape
+    bsz, m, s = aligned.shape
     assert chunk % 128 == 0, chunk
     assert s % chunk == 0, (s, chunk)
     k = filt.shape[-1]
     assert k >= 128, "kernel drains outputs via the K-long register"
     nsteps = s // chunk
-    rows = chunk // 128     # output laid out (rows, 128) per grid step
-    lo2 = last_out.reshape(1, k)
+    rows = chunk // 128
+    lo2 = last_out.reshape(bsz, 1, k)
 
-    kernel = functools.partial(_kernel, params=params, chunk=chunk, m=m)
+    kernel = functools.partial(_kernel, params=params, chunk=chunk, m=m,
+                               batch=bsz)
+
+    def st_spec(shape):
+        return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
     out, blk_o, flt_o, lo_o = pl.pallas_call(
         kernel,
         grid=(nsteps,),
         in_specs=[
-            pl.BlockSpec((m, chunk), lambda i: (0, i),
+            pl.BlockSpec((bsz, m, chunk), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((m - 1, k), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((m - 1, k), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
+            st_spec((bsz, m - 1, k)),
+            st_spec((bsz, m - 1, k)),
+            st_spec((bsz, 1, k)),
         ],
         out_specs=[
-            pl.BlockSpec((rows, 128), lambda i: (i, 0),
+            pl.BlockSpec((bsz, rows, 128), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((m - 1, k), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((m - 1, k), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
+            st_spec((bsz, m - 1, k)),
+            st_spec((bsz, m - 1, k)),
+            st_spec((bsz, 1, k)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((nsteps * rows, 128), aligned.dtype),
-            jax.ShapeDtypeStruct((m - 1, k), filt.dtype),
-            jax.ShapeDtypeStruct((m - 1, k), filt.dtype),
-            jax.ShapeDtypeStruct((1, k), filt.dtype),
+            jax.ShapeDtypeStruct((bsz, nsteps * rows, 128), aligned.dtype),
+            jax.ShapeDtypeStruct((bsz, m - 1, k), filt.dtype),
+            jax.ShapeDtypeStruct((bsz, m - 1, k), filt.dtype),
+            jax.ShapeDtypeStruct((bsz, 1, k), filt.dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((m - 1, k), jnp.float32),
-            pltpu.VMEM((m - 1, k), jnp.float32),
-            pltpu.VMEM((1, k), jnp.float32),
+            pltpu.VMEM((bsz, m - 1, k), jnp.float32),
+            pltpu.VMEM((bsz, m - 1, k), jnp.float32),
+            pltpu.VMEM((bsz, 1, k), jnp.float32),
         ],
         interpret=interpret,
     )(aligned, block, filt, lo2)
-    return out.reshape(-1), blk_o, flt_o, lo_o.reshape(-1)
+    return (out.reshape(bsz, -1), blk_o, flt_o,
+            lo_o.reshape(bsz, k))
+
+
+def gsc_adaptive_pallas(aligned, block, filt, last_out, params: GscParams,
+                        chunk: int = 1024, interpret: bool = False):
+    """Single-stream wrapper: aligned (M, S); block/filt (M-1, K);
+    last_out (K,). Returns (out (S,), block', filt', last_out')."""
+    out, blk, flt, lo = gsc_adaptive_pallas_batched(
+        aligned[None], block[None], filt[None], last_out[None], params,
+        chunk=chunk, interpret=interpret)
+    return out[0], blk[0], flt[0], lo[0]

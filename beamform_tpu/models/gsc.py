@@ -144,6 +144,32 @@ class GscModel:
             return out, (carry, gstate), (mu0, upd)
         return ys, (carry, gstate)
 
+    def _forward_batched(self, x, thetas, idx, state):
+        """Multi-stream forward: x (B, M, S), idx (B, T), state leaves with
+        leading B. Stage 1 vmaps; the adaptive stage runs the natively
+        batched Pallas kernel (streams on sublanes amortize the per-sample
+        issue overhead) or a vmapped scan elsewhere."""
+        carry, gstate = state
+        aligned, carry = jax.vmap(
+            lambda xx, ii, c: self.aligned_streams(xx, thetas, ii, c),
+            in_axes=(0, 0, 0))(x, idx, carry)        # aligned (B, M, S)
+
+        if self._use_pallas(aligned.shape[-1]) and not self.params.write_mu:
+            from beamform_tpu.kernels.gsc_pallas import (
+                gsc_adaptive_pallas_batched)
+            out, blk, flt, lo = gsc_adaptive_pallas_batched(
+                aligned, gstate.block, gstate.filt, gstate.last_out,
+                self.params)
+            return out, (carry, GscState(blk, flt, lo))
+
+        def one(a_stream, gst):
+            def step(st, a_t):
+                return gsc_sample_step(st, a_t, self.params)
+            return jax.lax.scan(step, gst, jnp.moveaxis(a_stream, 0, 1))
+
+        gstate, out = jax.vmap(one)(aligned, gstate)
+        return out, (carry, gstate)
+
     def process_chunk(self, x_chunk, theta, state):
         x = jnp.asarray(x_chunk, dtype=self.rdtype)
         t = x.shape[-1] // self.engine.hop

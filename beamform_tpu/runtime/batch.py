@@ -38,7 +38,12 @@ class BatchRunner:
         single = self.model.stream_init()
         self.state = jax.tree.map(
             lambda a: jnp.broadcast_to(a, (batch,) + a.shape), single)
-        if model_name == "lcmv":
+        if model_name == "gsc":
+            # vmap over the Pallas kernel would be incorrect (its grid/state
+            # logic assumes grid axis 0 is the chunk axis); the model has a
+            # natively batched forward instead
+            self._vmapped = jax.jit(self.model._forward_batched)
+        elif model_name == "lcmv":
             self._vmapped = jax.jit(jax.vmap(
                 self.model._forward,
                 in_axes=(0, None, None, None, None, 0, 0)))

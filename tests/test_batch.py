@@ -22,6 +22,7 @@ def cfg3():
     ("mcra", dict(L=10)),
     ("gss", dict(freq_mag_threshold=0.0008, freq_max=16000.0,
                  freq_min=100.0, mu=0.001)),
+    ("gsc", dict(mu0=0.0001, mu_max=0.1, filter_size=16)),
 ])
 def test_batch_matches_single(name, params):
     engine = EngineConfig(sample_rate=48000, window_size=HOP,
