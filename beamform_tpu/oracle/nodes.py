@@ -223,6 +223,34 @@ class LcmvOracle(_SteeredNode):
         self.theta = theta
         self._build_constraints(ini=False)
 
+    def interf_event(self, msg_id: int, angle: float,
+                     threshold: float = 5.0):
+        """interf_theta_roscallback (lcmv.cpp:258-309): move with proximity
+        REMOVAL, add with proximity rejection; any structural change
+        reallocates the zero-filled constraint buffers and the subsequent
+        update_weights(ini=false) leaves constraint row 0 ZERO forever."""
+        k = len(self.interf)
+        if 1 <= msg_id <= k:
+            self.interf[msg_id - 1] = angle
+            for i in range(len(self.interf)):
+                if i != msg_id - 1 and abs(self.interf[i]
+                                           - angle) < threshold:
+                    del self.interf[msg_id - 1]
+                    self._realloc()
+                    break
+            self._build_constraints(ini=False)
+        elif msg_id > k:
+            if not any(abs(a - angle) < threshold for a in self.interf):
+                self.interf.append(angle)
+                self._realloc()
+                self._build_constraints(ini=False)
+
+    def _realloc(self):
+        """allocate_interf_buffers: fresh zero-filled C; row 0 will never be
+        rewritten because only ini=true touches it (lcmv.cpp:50-56)."""
+        self.C = np.zeros((self.nfft, self.m, len(self.interf) + 1),
+                          dtype=np.complex128)
+
     def apply(self, xw):
         in_fft = np.fft.fft(xw, axis=1)
         y = np.empty(self.nfft, dtype=np.complex128)

@@ -283,3 +283,31 @@ def test_float32_deviation_budget(name):
     dev = np.max(np.abs(y32 - y64))
     assert np.isfinite(y32).all()
     assert dev < 1e-3, dev
+
+
+def test_gss_theta_timeline_parity():
+    """Mid-stream /theta message: GSS resets its demixing matrices to A^H
+    via update_weights (gss.cpp:90-93) — validated against the oracle."""
+    from beamform_tpu.config import GssParams
+    x = scene(seconds=0.3)
+    t = x.shape[1] // HOP
+    th = np.full(t, 10.0)
+    th[t // 2:] = -50.0
+    params = dict(freq_mag_threshold=0.0008, freq_max=16000.0,
+                  freq_min=100.0, out_amp=0.1, mu=0.001, lam=0.0)
+    interf = (70.0,)
+    model = GssModel(engine(), geom(), GssParams(**params),
+                     interference_angles=interf)
+    y = model.process(x, th)
+
+    o = on.GssOracle(AIRA3, HOP, FS, 10.0, interference_angles=interf,
+                     freq_mag_threshold=params["freq_mag_threshold"],
+                     freq_max=params["freq_max"], freq_min=params["freq_min"],
+                     out_amp=params["out_amp"], mu=params["mu"],
+                     lam=params["lam"])
+    outs = []
+    for k in range(t):
+        if k == t // 2:
+            o.set_theta(-50.0)
+        outs.append(o.callback(x[:, k * HOP:(k + 1) * HOP]))
+    assert_close(y, np.concatenate(outs), atol=1e-8)

@@ -115,3 +115,46 @@ def test_lcmv_dynamic_event_runs_and_changes_output():
     np.testing.assert_allclose(y_d[:half], y_s[:half], atol=1e-9)
     assert np.max(np.abs(y_d[half + HOP:] - y_s[half + HOP:])) > 1e-6
     assert np.isfinite(y_d).all()
+
+
+def test_lcmv_event_parity_vs_oracle():
+    """Dynamic interference events, end to end against the transliterated
+    oracle: add and remove interferences mid-stream, with the realloc row0
+    quirk engaged."""
+    from beamform_tpu.oracle import nodes as on
+    # 4 mics: with the row0 quirk the usable constraint rank is M-1 = 3, so
+    # the transient 2-interferer phase (S=3) stays nonsingular
+    XY = AIRA3 + [(0.12, 0.07)]
+    hop, fs, theta = HOP, FS, 25.0
+    x = make_scene(XY, seconds=0.3, theta_deg=theta, hop=hop, seed=9,
+                   quiet_hops=8)
+    t = x.shape[1] // hop
+    p = dict(past_windows=5, freq_mag_threshold=0.0008, freq_max=16000.0,
+             freq_min=100.0, out_amp=1.0)
+    thr = 5.0
+
+    # events: add one interferer at frame t1; move it near... then remove
+    # by moving a second one close (the proximity-removal path)
+    t1, t2, t3 = t // 4, t // 2, 3 * t // 4
+    from beamform_tpu.runtime.timeline import (
+        InterfEvent, replay_interference_events)
+    events = [InterfEvent(t1, 1, 60.0),      # add (id > K=0)
+              InterfEvent(t2, 2, -80.0),     # add second
+              InterfEvent(t3, 2, 57.0)]      # move #2 near #1 -> #2 removed
+    tl = replay_interference_events(t, [], events, threshold=thr,
+                                    capacity=4)
+
+    model = LcmvModel(engine(), ArrayGeometry.from_xy(XY), LcmvParams(**p),
+                      interference_angles=())
+    y = np.asarray(model.process(x, theta, interference=tl))
+
+    o = on.LcmvOracle(XY, hop, fs, theta, interference_angles=(), **p)
+    outs = []
+    for k in range(t):
+        for e in events:
+            if e.frame == k:
+                o.interf_event(e.id, e.angle, threshold=thr)
+        outs.append(o.callback(x[:, k * hop:(k + 1) * hop]))
+    ref = np.concatenate(outs)
+    assert np.isfinite(y).all()
+    np.testing.assert_allclose(y, ref, atol=1e-7)
