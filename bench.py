@@ -70,6 +70,9 @@ def main():
     ap.add_argument("--mics", type=int, default=16)
     ap.add_argument("--all", action="store_true",
                     help="benchmark every model (table on stderr)")
+    ap.add_argument("--batch", type=int, default=0,
+                    help="also measure aggregate multi-stream throughput "
+                         "for this batch size (table on stderr)")
     args = ap.parse_args()
 
     cfg = aira16_xy() if args.mics == 16 else None
@@ -92,6 +95,43 @@ def main():
         "unit": "x_realtime_per_chip",
         "vs_baseline": round(xrt / TARGET_XRT, 3),
     }
+
+    if args.batch:
+        import jax
+        import jax.numpy as jnp
+        from beamform_tpu.config import EngineConfig
+        from beamform_tpu.runtime.batch import BatchRunner
+        engine = EngineConfig(sample_rate=48000, window_size=1024,
+                              dtype="float32")
+        rng = np.random.default_rng(2)
+        bt = {}
+        for name, p in [("das", {}),
+                        ("gsc", dict(mu0=0.0001, mu_max=0.1,
+                                     filter_size=128)),
+                        ("gss", dict(freq_mag_threshold=0.001,
+                                     freq_max=16000, freq_min=100,
+                                     mu=0.001))]:
+            try:
+                runner = BatchRunner(name, engine, cfg, p, batch=args.batch)
+                xs = jax.device_put((0.1 * rng.standard_normal(
+                    (args.batch, args.mics,
+                     int(args.seconds * 48000) // 1024 * 1024))
+                ).astype(np.float32))
+                thetas = np.linspace(-60, 60, args.batch)
+                acc = runner.process(xs, thetas)[:, -5:].sum()
+                float(acc)  # warm
+                t0 = time.perf_counter()
+                acc = jnp.zeros(())
+                for _ in range(4):
+                    acc = acc + runner.process(xs, thetas)[:, -5:].sum()
+                float(acc)
+                dt = time.perf_counter() - t0
+                bt[name] = round(4 * args.batch * args.seconds / dt, 1)
+            except Exception as e:
+                bt[name] = f"ERROR {type(e).__name__}: {e}"[:120]
+            print(f"  batch{args.batch} {name}: {bt[name]} aggregate xRT",
+                  file=sys.stderr)
+        print(json.dumps({"batched_xrt": bt}), file=sys.stderr)
 
     if args.all:
         table = {"das": round(xrt, 1)}
