@@ -7,7 +7,7 @@ ops over ``(frames, mics, bins)`` here. Everything is a pure function of
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -152,9 +152,6 @@ def istft_ext(y_ext, engine: EngineConfig, window):
 # ---------------------------------------------------------------------------
 
 
-@jax.jit
-def _zeros_like_struct(struct):
-    return jax.tree.map(jnp.zeros_like, struct)
 
 
 def device_zeros(shape, dtype):

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from beamform_tpu.config import EngineConfig, GscParams
 from beamform_tpu.geometry import ArrayGeometry
 from beamform_tpu.models import common
-from beamform_tpu.dsp.wola import overlap_add, overlap_add_carry
+from beamform_tpu.dsp.wola import overlap_add_carry
 
 
 class GscState(NamedTuple):

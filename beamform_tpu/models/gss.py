@@ -28,7 +28,6 @@ import numpy as np
 from beamform_tpu.config import EngineConfig, GssParams
 from beamform_tpu.geometry import ArrayGeometry
 from beamform_tpu.models import common
-from beamform_tpu.models.lcmv import build_constraints
 
 
 def gss_update(w_sep, a_mat, a_h, x, gate, mu, lam, active_ext=None):

@@ -11,7 +11,7 @@ import math
 
 import numpy as np
 
-from beamform_tpu.oracle.engine import OracleWola, OracleWolaByMic, sqrt_hann
+from beamform_tpu.oracle.engine import OracleWola, OracleWolaByMic
 
 V_SOUND = 343.0
 

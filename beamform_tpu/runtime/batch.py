@@ -61,7 +61,6 @@ class BatchRunner:
         theta: scalar (shared) or (B,) per-stream constant angles, or
         (B, T) per-stream timelines.
         """
-        from beamform_tpu.models import common
         x = jnp.asarray(x_batch, dtype=self.model.rdtype)
         b = x.shape[0]
         assert b == self.batch, (b, self.batch)
