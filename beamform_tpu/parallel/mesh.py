@@ -45,3 +45,28 @@ def make_mesh(n_devices: Optional[int] = None,
     assert dp * tp == len(devices), (dp, tp, len(devices))
     arr = np.asarray(devices).reshape(dp, tp)
     return Mesh(arr, axis_names=("stream", "bin"))
+
+
+def make_mesh3(n_devices: Optional[int] = None,
+               devices: Optional[Sequence] = None,
+               shape: Optional[Tuple[int, int, int]] = None) -> Mesh:
+    """Three-axis mesh (stream, frame, bin): data parallel over recordings,
+    sequence parallel over STFT frames (stateless models' frames are
+    independent; XLA inserts the one-hop halo exchange the 50%-overlap
+    framing needs), tensor parallel over frequency bins."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    if shape is None:
+        if n % 8 == 0:
+            shape = (n // 8, 2, 4)
+        elif n % 4 == 0:
+            shape = (n // 4, 2, 2)
+        else:
+            shape = (n, 1, 1)
+    dp, sp, tp = shape
+    assert dp * sp * tp == n, (shape, n)
+    arr = np.asarray(devices).reshape(dp, sp, tp)
+    return Mesh(arr, axis_names=("stream", "frame", "bin"))

@@ -71,9 +71,17 @@ def sharded_spectral_pipeline(mesh: Mesh, engine: EngineConfig, weights,
 
     x_batch: (B, M, S) with B divisible by the ``stream`` axis and nfft by
     the ``bin`` axis; weights: (M, nfft). Returns (B, S) outputs.
+
+    Works with the 2-axis (stream, bin) mesh or the 3-axis
+    (stream, frame, bin) mesh — with a ``frame`` axis the per-frame spectral
+    math is additionally sequence-parallel (frames of a stateless model are
+    independent; the framing halo and the overlap-add seam are XLA's to
+    resolve at the sharding-constraint boundaries).
     """
     rdtype, cdtype = common.dtypes_of(engine)
     window = _np_window(engine)
+    has_frame = "frame" in mesh.axis_names
+    f_ax = "frame" if has_frame else None
 
     from beamform_tpu.dsp.wola import frame_signal, overlap_add
 
@@ -85,13 +93,13 @@ def sharded_spectral_pipeline(mesh: Mesh, engine: EngineConfig, weights,
         frames = frame_signal(xb, engine.hop) * window   # (B, M, T, 2h)
         spec = _fft_last(frames.astype(cdtype))
         spec = jnp.moveaxis(spec, 1, 2)                  # (B, T, M, N)
-        spec = _constraint(spec, mesh, P("stream", None, None, "bin"))
+        spec = _constraint(spec, mesh, P("stream", f_ax, None, "bin"))
         if kind == "das":
             y = jax.vmap(lambda s, ww: das_spectral(s, ww),
                          in_axes=(0, None))(spec, w)
         else:
             raise ValueError(kind)
-        y = _constraint(y, mesh, P("stream", None, "bin"))
+        y = _constraint(y, mesh, P("stream", f_ax, "bin"))
         out = overlap_add(_ifft_last_real(y) * window, engine.hop)
         return _constraint(out, mesh, P("stream", None))
 

@@ -72,3 +72,22 @@ def test_sharded_training_step_runs_and_learns():
     # and stays sharded over (stream, bin)
     ns = new_state.sharding
     assert ns.spec[:2] == ("stream", "bin")
+
+
+def test_sharded_das_3axis_mesh_sequence_parallel():
+    """(stream, frame, bin) mesh: data + sequence + tensor parallel at once,
+    identical to single-device."""
+    from beamform_tpu.parallel.mesh import make_mesh3
+    engine = EngineConfig(sample_rate=FS, window_size=HOP, dtype="float64")
+    mesh = make_mesh3(8, devices=jax.devices("cpu"))
+    assert mesh.axis_names == ("stream", "frame", "bin")
+    dp = mesh.devices.shape[0]
+    b = dp * 2
+    xs = np.stack([make_scene(AIRA3, seconds=0.05, theta_deg=10.0 + 5 * i,
+                              seed=i, hop=HOP) for i in range(b)])
+    w = _weights(engine, 20.0)
+    y = np.asarray(sharded_spectral_pipeline(mesh, engine, w, xs))
+    model = DasModel(engine, ArrayGeometry.from_xy(AIRA3))
+    for i in range(b):
+        yi = np.asarray(model.process(xs[i], 20.0))
+        np.testing.assert_allclose(y[i], yi, atol=1e-10)
