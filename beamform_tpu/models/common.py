@@ -201,6 +201,27 @@ def istft_ext_carry(y_ext, engine: EngineConfig, window, out_prev):
     return overlap_add_carry(p * win, engine.hop, out_prev)
 
 
+def map_frame_blocks(fn, spec, w_idx, *, pairs: int = 1,
+                     budget_bytes: float = 192e6):
+    """Apply a stateless per-frame spectral function in frame blocks so its
+    internal (T, pairs, NB) intermediates never materialize whole.
+
+    ``fn((spec_block (F, M, NB), idx_block (F,))) -> (F, NB)``.
+    """
+    t, _, nb = spec.shape
+    fb = max(8, int(budget_bytes / (max(pairs, 1) * nb * 4)))
+    if t <= fb:
+        return fn((spec, w_idx))
+    tpad = -(-t // fb) * fb
+    spec_p = jnp.pad(spec, ((0, tpad - t), (0, 0), (0, 0)))
+    idx_p = jnp.pad(jnp.asarray(w_idx), (0, tpad - t))
+    spec_b = spec_p.reshape(tpad // fb, fb, *spec.shape[1:])
+    idx_b = idx_p.reshape(tpad // fb, fb)
+    y = jax.lax.map(fn, (spec_b, idx_b))
+    return jax.tree.map(
+        lambda a: a.reshape((tpad,) + a.shape[2:])[:t], y)
+
+
 def band_mask(freqs: np.ndarray, fmin: float, fmax: float) -> np.ndarray:
     """Static in-band bin mask: fmin <= |f| <= fmax over the (quirky)
     full-length frequency vector (mvdr.cpp:84,109). Bin 0 is handled

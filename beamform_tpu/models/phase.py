@@ -78,8 +78,16 @@ class PhaseModel:
                                            self.cdtype, carry.tail)
         w_uniq = common.weights_for_thetas(self.geom, self.freqs, thetas,
                                            self.rdtype, self.cdtype)
-        y = phase_mask_spectral(spec, w_uniq[w_idx], self.params,
-                                self.engine.fft_win, self.ia, self.ib)
+
+        # the pairwise tensor is (T, M(M-1)/2, NB) — chunk the stateless
+        # mask over frame blocks so it never materializes whole
+        def mask_fn(args):
+            spec_b, idx_b = args
+            return phase_mask_spectral(spec_b, w_uniq[idx_b], self.params,
+                                       self.engine.fft_win, self.ia, self.ib)
+
+        y = common.map_frame_blocks(mask_fn, spec, w_idx,
+                                    pairs=len(self.ia))
         out, prev = common.istft_ext_carry(y, self.engine, self.window,
                                            carry.out_prev)
         return out, common.WolaCarry(tail, prev)

@@ -139,10 +139,17 @@ class PhasempfModel:
                                              self.cdtype, carry.tail)
         w_uniq = common.weights_for_thetas(self.geom, self.freqs, thetas,
                                            self.rdtype, self.cdtype)
-        w = w_uniq[w_idx]
         min_phase_rad = p.min_phase * np.pi / 180.0
-        soi, intf = dual_beam(x_spec, w, min_phase_rad, p.min_mag,
-                              self.ia, self.ib)
+
+        # chunk the stateless dual-beam mask over frame blocks (the pairwise
+        # tensor is (T, M(M-1)/2, NB) otherwise)
+        def mask_fn(args):
+            spec_b, idx_b = args
+            return dual_beam(spec_b, w_uniq[idx_b], min_phase_rad, p.min_mag,
+                             self.ia, self.ib)
+
+        soi, intf = common.map_frame_blocks(mask_fn, x_spec, w_idx,
+                                            pairs=len(self.ia))
         soi_sq = jnp.abs(soi) ** 2
         soi_sq = soi_sq.at[..., 0].set(0.0)   # set only for j >= 1
         int_sq = jnp.abs(intf) ** 2
