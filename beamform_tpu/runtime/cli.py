@@ -203,16 +203,21 @@ def main(argv=None) -> int:
                     th = float(theta[-1])
             else:
                 th = theta
+            tl_c = None
             if interference is not None:
                 tl = interference
-                tl_c = InterferenceTimeline(
-                    tl.angles[f0:f1], tl.active[f0:f1], tl.row0[f0:f1],
-                    tl.reset[f0:f1])
-                out_c, sess.state = sess.model.process_chunk(
-                    xp[:, i:i + chunk], th, sess.state, interference=tl_c)
-                outs.append(np.asarray(out_c))
-            else:
-                outs.append(np.asarray(sess.process(xp[:, i:i + chunk], th)))
+
+                def rows(a):
+                    r = a[f0:f1]
+                    if len(r) < args.stream:   # padded tail: last row holds
+                        pad = np.repeat(r[-1:], args.stream - len(r), axis=0)
+                        r = np.concatenate([r, pad], axis=0)
+                    return r
+
+                tl_c = InterferenceTimeline(rows(tl.angles), rows(tl.active),
+                                            rows(tl.row0), rows(tl.reset))
+            outs.append(np.asarray(sess.process(xp[:, i:i + chunk], th,
+                                                interference=tl_c)))
         y = np.concatenate(outs)[:x.shape[1] + (-x.shape[1]) % engine.hop]
         monitor = sess.monitor
         if args.save_state:

@@ -39,11 +39,13 @@ class StreamingSession:
             monitor = RealTimeMonitor(model.engine.sample_rate)
         self.monitor = monitor
 
-    def process(self, x_chunk, theta=None):
+    def process(self, x_chunk, theta=None, interference=None):
         """Feed (M, k*hop) samples; returns (k*hop,) output samples.
 
         ``theta``: scalar or per-frame (k,) timeline for this chunk; default
         holds the previous steering (matching ROS latest-message-wins).
+        ``interference``: optional InterferenceTimeline rows for this chunk
+        (lcmv/gss only).
         """
         x = np.asarray(x_chunk)
         if x.ndim == 1:
@@ -57,7 +59,11 @@ class StreamingSession:
             theta = getattr(self, "_last_theta", 0.0)
         if self.monitor is not None:
             self.monitor.start_chunk()
-        out, self.state = self.model.process_chunk(x, theta, self.state)
+        if interference is not None:
+            out, self.state = self.model.process_chunk(
+                x, theta, self.state, interference=interference)
+        else:
+            out, self.state = self.model.process_chunk(x, theta, self.state)
         if self.monitor is not None:
             import jax
             jax.block_until_ready(out)

@@ -147,3 +147,22 @@ def test_cli_wav_write_failure_degrades(tmp_path):
                        env={**os.environ, "JAX_PLATFORMS": "cpu"})
     assert r.returncode == 0, r.stderr[-1500:]   # degrades, does not crash
     assert "continuing without file output" in r.stderr
+
+
+def test_cli_stream_with_interference_events(tmp_path):
+    rng = np.random.default_rng(7)
+    x = 0.1 * rng.standard_normal((3, 13 * 256))   # odd length: padded tail
+    wav_in = str(tmp_path / "in.wav")
+    wav_io.write_wav(wav_in, x, 48000, fmt="float32")
+    import beamform_tpu, os
+    cfg_dir = beamform_tpu.__path__[0] + "/configs"
+    cmd = [sys.executable, "-m", "beamform_tpu.runtime.cli", "lcmv",
+           "--in", wav_in, "--array-config", f"{cfg_dir}/aira3.yaml",
+           "--window-size", "256", "--stream", "4",
+           "--param", "freq_mag_threshold=0.001",
+           "--interference-events", "0.02:1:70", "--report-json"]
+    r = subprocess.run(cmd, capture_output=True, text=True,
+                       env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    assert r.returncode == 0, r.stderr[-1500:]
+    rep = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rep["streaming"]["chunks"] == 4
