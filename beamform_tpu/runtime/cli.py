@@ -55,8 +55,23 @@ def build_parser():
         description="TPU-native multichannel beamforming (capabilities of "
                     "balkce/beamform, re-designed for JAX/XLA)")
     p.add_argument("node", choices=NODES, help="beamformer / node to run")
-    p.add_argument("--in", dest="input", required=True,
-                   help="multichannel input WAV (one channel per mic)")
+    p.add_argument("--in", dest="input", default=None,
+                   help="multichannel input WAV (one channel per mic); "
+                        "omit with --live")
+    p.add_argument("--live", action="store_true",
+                   help="live pipe mode (the JACK-client role): read raw "
+                        "interleaved float32 PCM from stdin, write processed "
+                        "float32 PCM to stdout, e.g. "
+                        "arecord -f FLOAT_LE -c3 | beamform-tpu das --live "
+                        "--live-channels 3 | aplay -f FLOAT_LE")
+    p.add_argument("--live-channels", type=int, default=None,
+                   help="input channel count for --live (default: mic count "
+                        "from the array config)")
+    p.add_argument("--live-rate", type=int, default=48000,
+                   help="sample rate for --live")
+    p.add_argument("--live-chunk", type=int, default=4,
+                   help="hops per processing chunk in --live mode (latency "
+                        "vs throughput)")
     p.add_argument("--out", dest="output", default=None,
                    help="output WAV path (default: rosjack write_file_path "
                         "or <in>.<node>.wav)")
@@ -117,6 +132,63 @@ def theta_from_spec(spec: str, num_frames: int, hop: int, fs: int,
     return th
 
 
+def run_live(args) -> int:
+    """Live pipe mode: the framework's stand-in for the reference's JACK
+    client loop (rosjack_create + jack_callback). Raw interleaved float32
+    PCM flows stdin -> beamformer -> stdout in fixed hop-chunks; per-chunk
+    deadline misses are counted like JACK xruns (rosjack.cpp:78-82)."""
+    import numpy as np
+
+    from beamform_tpu.runtime.streaming import StreamingSession
+
+    if args.array_config:
+        array_cfg = load_array_config(args.array_config)
+    else:
+        ch = args.live_channels or 1
+        array_cfg = parse_array_config(
+            {f"mic{i}": {"id": i, "x": 0.0, "y": 0.0} for i in range(ch)})
+    channels = args.live_channels or array_cfg.num_mics
+    fs = args.live_rate
+    engine = EngineConfig(sample_rate=fs, window_size=args.window_size,
+                          dtype=args.dtype)
+    overrides = {k: _parse_value(v)
+                 for k, v in (kv.split("=", 1) for kv in args.param)}
+    model = get_model(args.node, engine, array_cfg, overrides)
+    sess = StreamingSession(model, monitor=True)
+    if args.load_state:
+        sess.load(args.load_state)
+
+    theta = args.theta if args.theta is not None else array_cfg.initial_angle
+    hop = engine.hop
+    chunk = args.live_chunk * hop
+    frame_bytes = 4 * channels
+    stdin = sys.stdin.buffer
+    stdout = sys.stdout.buffer
+
+    # warm up the compiled step before real audio arrives; don't let the
+    # compile count as an xrun
+    sess.process(np.zeros((channels, chunk), dtype=np.float32), theta)
+    sess.state = sess.model.stream_init()
+    sess.frames_done = 0
+    from beamform_tpu.utils.profiling import RealTimeMonitor
+    sess.monitor = RealTimeMonitor(fs)
+
+    while True:
+        raw = stdin.read(chunk * frame_bytes)
+        if not raw:
+            break
+        n = len(raw) // frame_bytes
+        block = np.frombuffer(raw[:n * frame_bytes], dtype="<f4")
+        block = block.reshape(n, channels).T
+        if n < chunk:
+            block = np.pad(block, ((0, 0), (0, chunk - n)))
+        y = np.asarray(sess.process(block, theta), dtype=np.float32)[:n]
+        stdout.write(y.astype("<f4").tobytes())
+        stdout.flush()
+    print(json.dumps({"live": sess.monitor.report()}), file=sys.stderr)
+    return 0
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
@@ -129,6 +201,12 @@ def main(argv=None) -> int:
         except RuntimeError:
             pass
 
+    if args.live:
+        return run_live(args)
+
+    if args.input is None:
+        print("error: --in is required (or use --live)", file=sys.stderr)
+        return 2
     x, fs = wav_io.read_wav(args.input)
     if args.array_config:
         array_cfg = load_array_config(args.array_config)

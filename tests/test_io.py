@@ -166,3 +166,24 @@ def test_cli_stream_with_interference_events(tmp_path):
     assert r.returncode == 0, r.stderr[-1500:]
     rep = json.loads(r.stdout.strip().splitlines()[-1])
     assert rep["streaming"]["chunks"] == 4
+
+
+def test_cli_live_pipe_mode(tmp_path):
+    """Live mode: raw float32 PCM through stdin/stdout (the JACK-client
+    role), sample counts preserved, xrun accounting reported."""
+    import os
+    rng = np.random.default_rng(8)
+    s = 16 * 256
+    x = (0.1 * rng.standard_normal((s, 3))).astype("<f4")
+    cmd = [sys.executable, "-m", "beamform_tpu.runtime.cli", "das", "--live",
+           "--live-channels", "3", "--window-size", "256",
+           "--live-chunk", "4", "--theta", "15"]
+    r = subprocess.run(cmd, input=x.tobytes(), capture_output=True,
+                       env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    assert r.returncode == 0, r.stderr[-1200:].decode()
+    y = np.frombuffer(r.stdout, dtype="<f4")
+    assert len(y) == s
+    assert np.isfinite(y).all()
+    live = json.loads([l for l in r.stderr.decode().splitlines()
+                       if '"live"' in l][-1])["live"]
+    assert live["chunks"] == 4
