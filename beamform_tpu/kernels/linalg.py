@@ -127,6 +127,33 @@ def _gj_kernel(ar_ref, ai_ref, or_ref, oi_ref, mr_ref, mi_ref, *, m: int):
     oi_ref[:] = xi
 
 
+def gj_inverse_pallas_native(a, tile: int = _GJ_TILE,
+                             interpret: bool = False):
+    """Batched complex inverse in the kernel's native (M, M, B) layout —
+    producers that already emit batch-on-lanes skip the big transposes."""
+    m, _, b = a.shape
+    bp = -(-b // tile) * tile
+    ar, ai = a.real, a.imag
+    if bp != b:
+        eye = jnp.broadcast_to(jnp.eye(m, dtype=ar.dtype)[:, :, None],
+                               (m, m, bp - b))
+        ar = jnp.concatenate([ar, eye], axis=-1)
+        ai = jnp.concatenate([ai, jnp.zeros_like(eye)], axis=-1)
+    kernel = functools.partial(_gj_kernel, m=m)
+    spec = pl.BlockSpec((m, m, tile), lambda i: (0, 0, i),
+                        memory_space=pltpu.VMEM)
+    outr, outi = pl.pallas_call(
+        kernel,
+        grid=(bp // tile,),
+        in_specs=[spec, spec],
+        out_specs=[spec, spec],
+        out_shape=[jax.ShapeDtypeStruct((m, m, bp), ar.dtype)] * 2,
+        scratch_shapes=[pltpu.VMEM((m, m, tile), jnp.float32)] * 2,
+        interpret=interpret,
+    )(ar, ai)
+    return jax.lax.complex(outr[:, :, :b], outi[:, :, :b])
+
+
 def gj_inverse_pallas(a, tile: int = _GJ_TILE, interpret: bool = False):
     """Batched complex inverse on TPU: a (B, M, M) complex64 -> (B, M, M).
 

@@ -136,16 +136,40 @@ class MvdrModel:
         band = (jnp.tri(cb, cb + w_hist, w_hist - 1, dtype=self.rdtype)
                 - jnp.tri(cb, cb + w_hist, -1, dtype=self.rdtype))
 
+        from beamform_tpu.models.common import on_tpu_device
+        native = (on_tpu_device() and self.cdtype == jnp.complex64
+                  and m <= 64)
+
         def block_step(hist, inp):
             xb, magb, ub = inp                    # (CB, M, Nib), (CB, Nib)
             ext = jnp.concatenate([hist, xb], axis=0)      # (W+CB, M, Nib)
-            o = jnp.einsum("tmn,tkn->tnmk", ext, jnp.conj(ext))
-            g = jnp.einsum("ct,tnmk->cnmk", band.astype(o.dtype), o,
-                           precision=jax.lax.Precision.HIGHEST)
-            r = g * wr[None, None, :, :]                   # (CB, Nib, M, M)
-            d = jnp.moveaxis(d_ib[ub], 1, -1)              # (CB, Nib, M)
-            w_opt = mvdr_solve(r, d)
-            y_bf = jnp.einsum("tnm,tmn->tn", jnp.conj(w_opt), xb)
+            if native:
+                # batch-on-lanes layout end to end: the outer products and
+                # the banded sum emit (M, K, CB, Nib) directly, feeding the
+                # Pallas Gauss-Jordan kernel with no big transposes
+                from beamform_tpu.kernels.linalg import gj_inverse_pallas_native
+                o = jnp.einsum("tmn,tkn->mktn", ext, jnp.conj(ext))
+                g = jnp.einsum("ct,mktn->mkcn", band.astype(o.dtype), o,
+                               precision=jax.lax.Precision.HIGHEST)
+                r = g * wr[:, :, None, None]
+                nib = r.shape[-1]
+                inv = gj_inverse_pallas_native(
+                    r.reshape(m, m, cb * nib))             # (M, K, B)
+                d = jnp.moveaxis(d_ib[ub], 1, -1).reshape(cb * nib, m)
+                num = jnp.einsum("mkb,bk->bm", inv, d)
+                den = jnp.einsum("bm,bm->b", jnp.conj(d), num)
+                w_opt = num / den[:, None]
+                xt = jnp.moveaxis(xb, 1, -1).reshape(cb * nib, m)
+                y_bf = jnp.einsum("bm,bm->b", jnp.conj(w_opt),
+                                  xt).reshape(cb, nib)
+            else:
+                o = jnp.einsum("tmn,tkn->tnmk", ext, jnp.conj(ext))
+                g = jnp.einsum("ct,tnmk->cnmk", band.astype(o.dtype), o,
+                               precision=jax.lax.Precision.HIGHEST)
+                r = g * wr[None, None, :, :]               # (CB, Nib, M, M)
+                d = jnp.moveaxis(d_ib[ub], 1, -1)          # (CB, Nib, M)
+                w_opt = mvdr_solve(r, d)
+                y_bf = jnp.einsum("tnm,tmn->tn", jnp.conj(w_opt), xb)
             y_t = jnp.where(magb > p.freq_mag_threshold, y_bf,
                             xb[:, 0, :] * 0.01)
             return ext[cb:], y_t
