@@ -57,5 +57,3 @@ def _ensure_registered():
         "read": ReadModel,
     })
 
-
-_ensure_registered_done = False

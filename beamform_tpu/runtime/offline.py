@@ -16,7 +16,8 @@ from beamform_tpu.models import get_model
 def run_offline(model_name: str, x, *, engine: Optional[EngineConfig] = None,
                 array_cfg: Optional[ArrayConfig] = None,
                 theta=None,
-                params: Optional[Dict[str, Any]] = None) -> np.ndarray:
+                params: Optional[Dict[str, Any]] = None,
+                interference=None) -> np.ndarray:
     """Run one beamformer over a multichannel signal.
 
     x: (M, S) float array. theta: scalar angle in degrees or a per-frame
@@ -31,4 +32,6 @@ def run_offline(model_name: str, x, *, engine: Optional[EngineConfig] = None,
     model = get_model(model_name, engine, array_cfg, params)
     if theta is None:
         theta = array_cfg.initial_angle
+    if interference is not None:
+        return np.asarray(model.process(x, theta, interference=interference))
     return np.asarray(model.process(x, theta))
