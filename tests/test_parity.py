@@ -311,3 +311,14 @@ def test_gss_theta_timeline_parity():
             o.set_theta(-50.0)
         outs.append(o.callback(x[:, k * HOP:(k + 1) * HOP]))
     assert_close(y, np.concatenate(outs), atol=1e-8)
+
+
+def test_non_power_of_two_hop():
+    """Arbitrary JACK buffer sizes: a non-power-of-two, non-128-multiple
+    hop still matches the oracle (the MXU FFT gates itself off)."""
+    hop = 120
+    x = make_scene(AIRA3, seconds=0.1, theta_deg=THETA, hop=hop)
+    e = EngineConfig(sample_rate=FS, window_size=hop, dtype="float64")
+    y = DasModel(e, geom()).process(x, THETA)
+    o = on.DasOracle(AIRA3, hop, FS, THETA)
+    assert_close(y, run_oracle(o, x, hop))
