@@ -224,11 +224,12 @@ class LcmvOracle(_SteeredNode):
         self._build_constraints(ini=False)
 
     def interf_event(self, msg_id: int, angle: float,
-                     threshold: float = 5.0):
+                     threshold: float = 5.0) -> bool:
         """interf_theta_roscallback (lcmv.cpp:258-309): move with proximity
         REMOVAL, add with proximity rejection; any structural change
         reallocates the zero-filled constraint buffers and the subsequent
-        update_weights(ini=false) leaves constraint row 0 ZERO forever."""
+        update_weights(ini=false) leaves constraint row 0 ZERO forever.
+        Returns True when update_weights ran (a rejected add does not)."""
         k = len(self.interf)
         if 1 <= msg_id <= k:
             self.interf[msg_id - 1] = angle
@@ -239,11 +240,14 @@ class LcmvOracle(_SteeredNode):
                     self._realloc()
                     break
             self._build_constraints(ini=False)
+            return True
         elif msg_id > k:
             if not any(abs(a - angle) < threshold for a in self.interf):
                 self.interf.append(angle)
                 self._realloc()
                 self._build_constraints(ini=False)
+                return True
+        return False
 
     def _realloc(self):
         """allocate_interf_buffers: fresh zero-filled C; row 0 will never be
@@ -296,6 +300,17 @@ class GssOracle(LcmvOracle):
     def set_theta(self, theta):
         super().set_theta(theta)
         self.W = np.conj(np.transpose(self.C, (0, 2, 1))).copy()
+
+    def interf_event(self, msg_id: int, angle: float,
+                     threshold: float = 5.0) -> bool:
+        """gss.cpp:288-339: like LCMV's protocol, and any accepted event's
+        update_weights also resets the demixing matrices to A^H
+        (gss.cpp:90-93)."""
+        updated = super().interf_event(msg_id, angle, threshold)
+        if updated:
+            self.W = np.conj(np.transpose(self.C, (0, 2, 1))).copy()
+            self.s = len(self.interf) + 1
+        return updated
 
     def apply(self, xw):
         in_fft = np.fft.fft(xw, axis=1)

@@ -158,3 +158,37 @@ def test_lcmv_event_parity_vs_oracle():
     ref = np.concatenate(outs)
     assert np.isfinite(y).all()
     np.testing.assert_allclose(y, ref, atol=1e-7)
+
+
+def test_gss_event_parity_vs_oracle():
+    """Dynamic interference events through GSS: accepted events reset the
+    demixing matrices to A^H with the row0 quirk; validated against the
+    transliterated oracle."""
+    from beamform_tpu.oracle import nodes as on
+    XY = AIRA3 + [(0.12, 0.07)]
+    hop, fs, theta = HOP, FS, 25.0
+    x = make_scene(XY, seconds=0.3, theta_deg=theta, hop=hop, seed=11)
+    t = x.shape[1] // hop
+    p = dict(freq_mag_threshold=0.0008, freq_max=16000.0, freq_min=100.0,
+             out_amp=0.1, mu=0.001)
+    thr = 5.0
+    t1, t2 = t // 3, 2 * t // 3
+    from beamform_tpu.runtime.timeline import (
+        InterfEvent, replay_interference_events)
+    events = [InterfEvent(t1, 1, 60.0),      # add
+              InterfEvent(t2, 1, -40.0)]     # move (no structural change)
+    tl = replay_interference_events(t, [], events, threshold=thr,
+                                    capacity=3)
+    model = GssModel(engine(), ArrayGeometry.from_xy(XY), GssParams(**p),
+                     interference_angles=())
+    y = np.asarray(model.process(x, theta, interference=tl))
+
+    o = on.GssOracle(XY, hop, fs, theta, interference_angles=(), **p)
+    outs = []
+    for k in range(t):
+        for e in events:
+            if e.frame == k:
+                o.interf_event(e.id, e.angle, threshold=thr)
+        outs.append(o.callback(x[:, k * hop:(k + 1) * hop]))
+    assert np.isfinite(y).all()
+    np.testing.assert_allclose(y, np.concatenate(outs), atol=1e-7)
