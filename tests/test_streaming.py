@@ -99,3 +99,20 @@ def test_chunk_must_be_hop_multiple():
     sess = StreamingSession(model)
     with pytest.raises(AssertionError):
         sess.process(np.zeros((3, HOP + 1)))
+
+
+def test_long_stream_constant_state():
+    """Hour-scale streaming is O(1) memory by construction: the session
+    state pytree never grows with the number of chunks processed."""
+    import jax
+    model = build("phasempf")
+    sess = StreamingSession(model, chunk_frames=4)
+    size0 = sum(np.asarray(leaf).nbytes
+                for leaf in jax.tree.leaves(sess.state))
+    rng = np.random.default_rng(12)
+    for _ in range(50):   # 50 chunks through one compiled step
+        sess.process(0.05 * rng.standard_normal((3, 4 * HOP)), 10.0)
+    size1 = sum(np.asarray(leaf).nbytes
+                for leaf in jax.tree.leaves(sess.state))
+    assert size1 == size0
+    assert sess.frames_done == 200
