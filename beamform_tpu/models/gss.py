@@ -164,6 +164,13 @@ class GssModel:
         x = jnp.asarray(x_chunk, dtype=self.rdtype)
         t = x.shape[-1] // self.engine.hop
         ctrl = self._control_arrays(theta, t, interference)
+        s_state = state[1].shape[-2]
+        s_ctrl = ctrl[1].shape[-1] + 1
+        assert s_state == s_ctrl, (
+            f"demixing state holds {s_state} source slots but the "
+            f"interference timeline has capacity {s_ctrl - 1}; create the "
+            "session/state after choosing the timeline capacity "
+            "(set model._capacity or pass the same timeline to process)")
         return self._jit(x, *ctrl, state)
 
     def process(self, x, theta=0.0, interference=None):
