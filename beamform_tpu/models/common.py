@@ -191,6 +191,19 @@ def stft_ext_carry(x, engine: EngineConfig, window, cdtype, tail):
     return jnp.moveaxis(spec, 0, 1), new_tail
 
 
+def stft_ext_carry_mt(x, engine: EngineConfig, window, cdtype, tail):
+    """Like stft_ext_carry but keeps the natural (M, T, NB) layout —
+    consumers that can contract over mics directly (das) skip a full-size
+    transpose."""
+    from beamform_tpu.dsp.wola import frame_signal_carry
+    frames, new_tail = frame_signal_carry(x, engine.hop, tail)
+    frames = frames * jnp.asarray(window, dtype=x.dtype)
+    spec = _rfft(frames, engine).astype(cdtype)
+    h = engine.fft_win // 2
+    shadow = jnp.conj(spec[..., h - 1:h])
+    return jnp.concatenate([spec, shadow], axis=-1), new_tail
+
+
 def istft_ext_carry(y_ext, engine: EngineConfig, window, out_prev):
     """Streaming istft_ext: (T, NB) + out_prev (hop,) ->
     ((T*hop,) stream, new_out_prev)."""

@@ -50,11 +50,15 @@ class DasModel:
                                       self.rdtype)
 
     def _forward(self, x, thetas, w_idx, carry: common.WolaCarry):
-        spec, tail = common.stft_ext_carry(x, self.engine, self.window,
-                                           self.cdtype, carry.tail)
+        # (M, T, NB) layout straight from the rFFT: das contracts over mics
+        # without transposing the spectra
+        spec_mt, tail = common.stft_ext_carry_mt(
+            x, self.engine, self.window, self.cdtype, carry.tail)
         w_uniq = common.weights_for_thetas(self.geom, self.freqs, thetas,
                                            self.rdtype, self.cdtype)
-        y = das_spectral(spec, w_uniq[w_idx])
+        m = spec_mt.shape[0]
+        w = w_uniq[w_idx]                                 # (T, M, NB)
+        y = jnp.einsum("tmn,mtn->tn", jnp.conj(w), spec_mt) / m
         out, prev = common.istft_ext_carry(y, self.engine, self.window,
                                            carry.out_prev)
         return out, common.WolaCarry(tail, prev)
