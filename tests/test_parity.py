@@ -322,3 +322,23 @@ def test_non_power_of_two_hop():
     y = DasModel(e, geom()).process(x, THETA)
     o = on.DasOracle(AIRA3, hop, FS, THETA)
     assert_close(y, run_oracle(o, x, hop))
+
+
+def test_phasempf_theta_timeline_parity():
+    """Mid-stream /theta through PhaseMPF: stateless weight change on top of
+    the stateful MCRA/MPF recursions, vs the oracle."""
+    from beamform_tpu.config import PhasempfParams
+    x = scene(seconds=0.3)
+    t = x.shape[1] // HOP
+    th = np.full(t, 15.0)
+    th[t // 2:] = -35.0
+    params = dict(min_phase=30.0, min_mag=0.05, smooth_size=3, MCRA_L=10)
+    model = PhasempfModel(engine(), geom(), PhasempfParams(**params))
+    y = model.process(x, th)
+    o = on.PhasempfOracle(AIRA3, HOP, FS, 15.0, **params)
+    outs = []
+    for k in range(t):
+        if k == t // 2:
+            o.set_theta(-35.0)
+        outs.append(o.callback(x[:, k * HOP:(k + 1) * HOP]))
+    assert_close(y, np.concatenate(outs))
