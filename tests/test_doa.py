@@ -60,6 +60,55 @@ def test_diff_gradient_doa_runs():
     assert np.all(np.abs(th) <= 180.0)
 
 
+def test_spec_gradient_doa_history_objective():
+    """History mode: E = rms_last / ((rms_last - mean(rms)) * alpha)
+    (energy2theta-spec.py:78-92); theta moves with '+' sign despite the
+    reference's 'descent' comment (energy2theta-spec.py:138)."""
+    from beamform_tpu.doa import SpecGradientDoa
+    doa = SpecGradientDoa(theta=5.0, num_win=4, vad_threshold=0.0)
+    assert doa.mu == 10.0
+    rng = np.random.default_rng(3)
+    b = np.zeros(10 * HOP)
+    r = 0.1 * rng.standard_normal(10 * HOP)
+    th = doa.run(b, r, HOP)
+    assert th.shape == (10,)
+    assert np.all(th[:4] == 5.0)            # deque fill phase, no updates
+    assert np.any(th[4:] != 5.0)            # then the controller moves
+    assert np.all(np.abs(th[np.isfinite(th)]) <= 180.0)
+
+    # hand-check one energy: build the same 4-deep deque state
+    wins = [r[i * HOP:(i + 1) * HOP] - b[i * HOP:(i + 1) * HOP]
+            for i in range(1, 5)]
+    past = np.array([np.sqrt(np.mean(w ** 2)) for w in wins])
+    expect = past[-1] / ((past[-1] - past.mean()) * 1000.0)
+    probe = SpecGradientDoa(num_win=4, vad_threshold=0.0)
+    for w in wins:
+        probe._windows.append(w)
+    assert np.isclose(probe._deque_energy(), expect)
+
+
+def test_spec_gradient_doa_spectrogram_objective():
+    """Spectrogram mode: scipy spectrogram, thresholded-bin mean, sqrt
+    (energy2theta-spec.py:55-77); all-below-threshold -> NaN -> -100
+    invalid, update skipped (energy2theta-spec.py:98-103,137)."""
+    from beamform_tpu.doa import SpecGradientDoa
+    doa = SpecGradientDoa(theta=0.0, num_win=3, vad_threshold=0.0,
+                          energy_calc_method="spectrogram")
+    assert doa.mu == 5000.0
+    rng = np.random.default_rng(4)
+    b = np.zeros(9 * 1024)
+    r = 0.05 * rng.standard_normal(9 * 1024)
+    th = doa.run(b, r, 1024)
+    assert np.all(np.isfinite(th)) and np.any(th != 0.0)
+
+    # every bin under fft_threshold: energy invalid, theta frozen
+    tiny = SpecGradientDoa(theta=7.0, num_win=3, vad_threshold=0.0,
+                           energy_calc_method="spectrogram",
+                           fft_threshold=1e30)
+    th2 = tiny.run(b, r, 1024)
+    assert np.all(th2 == 7.0)
+
+
 def test_speakerid_stub():
     stub = SpeakerIdStub(every=3)
     msgs = [stub.step(np.ones(4)) for _ in range(8)]
