@@ -67,7 +67,8 @@ def gauss_jordan_inv(a):
 _GJ_TILE = 512
 
 
-def _gj_kernel(ar_ref, ai_ref, or_ref, oi_ref, mr_ref, mi_ref, *, m: int):
+def _gj_kernel(ar_ref, ai_ref, or_ref, oi_ref, mr_ref, mi_ref, *, m: int,
+               polish: bool = True):
     # State lives in refs: Mosaic cannot row-slice a *computed* value with a
     # broadcast-derived layout, but slicing VMEM refs is always legal.
     tile = ar_ref.shape[-1]
@@ -103,6 +104,10 @@ def _gj_kernel(ar_ref, ai_ref, or_ref, oi_ref, mr_ref, mi_ref, *, m: int):
 
     # Newton-Schulz polish in-kernel (X <- X (2I - A X)): per-matrix matmuls
     # as k-loops of ref-sliced rank-1 updates — everything stays in VMEM.
+    # Skipped when the caller refines at the application site instead
+    # (x = X d; x += X (d - A x) is algebraically X(2I-AX) d at M^2 cost).
+    if not polish:
+        return
     tr = jnp.where(rows == cols, 2.0, 0.0).astype(ar_ref.dtype)
     ti = jnp.zeros((m, m, tile), dtype=ar_ref.dtype)
     for kk in range(m):
@@ -128,9 +133,14 @@ def _gj_kernel(ar_ref, ai_ref, or_ref, oi_ref, mr_ref, mi_ref, *, m: int):
 
 
 def gj_inverse_pallas_native(a, tile: int = _GJ_TILE,
-                             interpret: bool = False):
+                             interpret: bool = False, polish: bool = True):
     """Batched complex inverse in the kernel's native (M, M, B) layout —
-    producers that already emit batch-on-lanes skip the big transposes."""
+    producers that already emit batch-on-lanes skip the big transposes.
+
+    ``polish=False`` skips the in-kernel Newton step (two M^3 matmuls);
+    callers that apply the inverse to a right-hand side get the identical
+    result from one M^2 refinement step at the application site.
+    """
     m, _, b = a.shape
     bp = -(-b // tile) * tile
     ar, ai = a.real, a.imag
@@ -139,7 +149,7 @@ def gj_inverse_pallas_native(a, tile: int = _GJ_TILE,
                                (m, m, bp - b))
         ar = jnp.concatenate([ar, eye], axis=-1)
         ai = jnp.concatenate([ai, jnp.zeros_like(eye)], axis=-1)
-    kernel = functools.partial(_gj_kernel, m=m)
+    kernel = functools.partial(_gj_kernel, m=m, polish=polish)
     spec = pl.BlockSpec((m, m, tile), lambda i: (0, 0, i),
                         memory_space=pltpu.VMEM)
     outr, outi = pl.pallas_call(
@@ -154,11 +164,13 @@ def gj_inverse_pallas_native(a, tile: int = _GJ_TILE,
     return jax.lax.complex(outr[:, :, :b], outi[:, :, :b])
 
 
-def gj_inverse_pallas(a, tile: int = _GJ_TILE, interpret: bool = False):
+def gj_inverse_pallas(a, tile: int = _GJ_TILE, interpret: bool = False,
+                      polish: bool = True):
     """Batched complex inverse on TPU: a (B, M, M) complex64 -> (B, M, M).
 
     Pads B to a tile multiple (identity padding keeps the padded lanes
     numerically quiet) and runs the lane-parallel Gauss-Jordan kernel.
+    ``polish=False``: see :func:`gj_inverse_pallas_native`.
     """
     b, m, _ = a.shape
     bp = -(-b // tile) * tile
@@ -170,7 +182,7 @@ def gj_inverse_pallas(a, tile: int = _GJ_TILE, interpret: bool = False):
         ar = jnp.concatenate([ar, eye], axis=-1)
         ai = jnp.concatenate([ai, jnp.zeros_like(eye)], axis=-1)
 
-    kernel = functools.partial(_gj_kernel, m=m)
+    kernel = functools.partial(_gj_kernel, m=m, polish=polish)
     spec = pl.BlockSpec((m, m, tile), lambda i: (0, 0, i),
                         memory_space=pltpu.VMEM)
     outr, outi = pl.pallas_call(

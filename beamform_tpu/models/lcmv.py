@@ -42,8 +42,11 @@ def lcmv_solve(r, c, inactive_diag=None):
     inverse (hence column 0 of w) is exactly the smaller problem's solution
     — the fixed-capacity replacement for the reference's reallocation.
     """
-    inv = batched_inv(r)
-    ric = jnp.einsum("...mk,...ks->...ms", inv, c)
+    inv = batched_inv(r, polish=False)
+    ric0 = jnp.einsum("...mk,...ks->...ms", inv, c)
+    # refinement on the S-column RHS == Newton polish of R^-1, at M^2 S
+    resid = c - jnp.einsum("...mk,...ks->...ms", r, ric0)
+    ric = ric0 + jnp.einsum("...mk,...ks->...ms", inv, resid)
     inner = jnp.einsum("...ms,...mk->...sk", jnp.conj(c), ric)
     if inactive_diag is not None:
         s = inner.shape[-1]

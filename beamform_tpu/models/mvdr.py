@@ -34,17 +34,20 @@ def white_r(m: int, rdtype):
             + 0.001 * jnp.eye(m, dtype=rdtype))
 
 
-def batched_inv(a):
+def batched_inv(a, polish: bool = True):
     """Batched complex matrix inverse (replaces Eigen .inverse()).
 
     XLA's jnp.linalg.inv lowers through pivoted LU — no complex support on
     TPU and ~100x too slow for tens of thousands of small matrices. The
     MVDR/LCMV matrices are Hermitian positive (semi)definite after the
     1.001 diagonal loading, so an unpivoted vectorized Gauss-Jordan
-    (kernels/linalg.py) is safe; one Newton-Schulz step
-    X <- X (2I - A X) — two batched MXU matmuls — polishes the float32
-    result to ~1e-6 relative. Singular cold-start covariances yield
-    inf/NaN, like the reference's Eigen garbage.
+    (kernels/linalg.py) is safe. One Newton-Schulz step
+    X <- X (2I - A X) polishes the float32 result to ~1e-6 relative;
+    callers that apply the inverse to a right-hand side should instead pass
+    ``polish=False`` and refine at the application site
+    (x = X b; x += X (b - A x) — the identical value at M^2 instead of
+    2 M^3 cost, since X(2I-AX) b = Xb + X(b - A(Xb))). Singular cold-start
+    covariances yield inf/NaN, like the reference's Eigen garbage.
     """
     from beamform_tpu.kernels.linalg import (
         gauss_jordan_inv, gj_inverse_pallas)
@@ -54,17 +57,25 @@ def batched_inv(a):
     from beamform_tpu.models.common import on_tpu_device
     if (on_tpu_device() and jnp.issubdtype(a.dtype, jnp.complexfloating)
             and a.dtype == jnp.complex64 and m <= 64 and b >= 2048):
-        # Newton polish happens inside the kernel
-        return gj_inverse_pallas(a.reshape((b, m, m))).reshape(a.shape)
+        return gj_inverse_pallas(a.reshape((b, m, m)),
+                                 polish=polish).reshape(a.shape)
     inv = gauss_jordan_inv(a)
+    if not polish:
+        return inv
     eye2 = 2.0 * jnp.eye(m, dtype=a.dtype)
     return inv @ (eye2 - a @ inv)
 
 
 def mvdr_solve(r, d):
-    """w = R^-1 d / (d^H R^-1 d) per bin; r (..., M, M), d (..., M)."""
-    inv = batched_inv(r)
-    num = jnp.einsum("...mk,...k->...m", inv, d)
+    """w = R^-1 d / (d^H R^-1 d) per bin; r (..., M, M), d (..., M).
+
+    The unpolished Gauss-Jordan inverse is refined on the right-hand side:
+    one residual step reproduces the Newton-polished solution exactly.
+    """
+    inv = batched_inv(r, polish=False)
+    x0 = jnp.einsum("...mk,...k->...m", inv, d)
+    resid = d - jnp.einsum("...mk,...k->...m", r, x0)
+    num = x0 + jnp.einsum("...mk,...k->...m", inv, resid)
     den = jnp.einsum("...m,...m->...", jnp.conj(d), num)
     return num / den[..., None]
 
@@ -153,10 +164,13 @@ class MvdrModel:
                                precision=jax.lax.Precision.HIGHEST)
                 r = g * wr[:, :, None, None]
                 nib = r.shape[-1]
-                inv = gj_inverse_pallas_native(
-                    r.reshape(m, m, cb * nib))             # (M, K, B)
+                rb = r.reshape(m, m, cb * nib)             # (M, K, B)
+                inv = gj_inverse_pallas_native(rb, polish=False)
                 d = jnp.moveaxis(d_ib[ub], 1, -1).reshape(cb * nib, m)
-                num = jnp.einsum("mkb,bk->bm", inv, d)
+                # refinement on the RHS == in-kernel Newton polish, at M^2
+                x0 = jnp.einsum("mkb,bk->bm", inv, d)
+                resid = d - jnp.einsum("mkb,bk->bm", rb, x0)
+                num = x0 + jnp.einsum("mkb,bk->bm", inv, resid)
                 den = jnp.einsum("bm,bm->b", jnp.conj(d), num)
                 w_opt = num / den[:, None]
                 xt = jnp.moveaxis(xb, 1, -1).reshape(cb * nib, m)
