@@ -42,17 +42,21 @@ def lcmv_solve(r, c, inactive_diag=None):
     inverse (hence column 0 of w) is exactly the smaller problem's solution
     — the fixed-capacity replacement for the reference's reallocation.
     """
+    # HIGHEST: the MXU's default bf16 passes turn the ill-conditioned
+    # solve chain into ~1e-1 output deviations (vs ~1e-4 at f32)
+    hp = jax.lax.Precision.HIGHEST
     inv = batched_inv(r, polish=False)
-    ric0 = jnp.einsum("...mk,...ks->...ms", inv, c)
+    ric0 = jnp.einsum("...mk,...ks->...ms", inv, c, precision=hp)
     # refinement on the S-column RHS == Newton polish of R^-1, at M^2 S
-    resid = c - jnp.einsum("...mk,...ks->...ms", r, ric0)
-    ric = ric0 + jnp.einsum("...mk,...ks->...ms", inv, resid)
-    inner = jnp.einsum("...ms,...mk->...sk", jnp.conj(c), ric)
+    resid = c - jnp.einsum("...mk,...ks->...ms", r, ric0, precision=hp)
+    ric = ric0 + jnp.einsum("...mk,...ks->...ms", inv, resid, precision=hp)
+    inner = jnp.einsum("...ms,...mk->...sk", jnp.conj(c), ric, precision=hp)
     if inactive_diag is not None:
         s = inner.shape[-1]
         eye = jnp.eye(s, dtype=inner.dtype)
         inner = inner + inactive_diag.astype(inner.dtype)[..., :, None] * eye
-    w_all = jnp.einsum("...ms,...sk->...mk", ric, batched_inv(inner))
+    w_all = jnp.einsum("...ms,...sk->...mk", ric, batched_inv(inner),
+                       precision=hp)
     return w_all[..., 0]
 
 
@@ -184,7 +188,8 @@ class LcmvModel:
             r = g * wr[None, None, :, :]
             c = c_uniq[ub]                                  # (CB, Nib, M, S)
             w0 = lcmv_solve(r, c, inact[ub][:, None, :])    # (CB, Nib, M)
-            y_bf = jnp.einsum("tnm,tmn->tn", jnp.conj(w0), xb)
+            y_bf = jnp.einsum("tnm,tmn->tn", jnp.conj(w0), xb,
+                              precision=jax.lax.Precision.HIGHEST)
             y_t = jnp.where(magb > p.freq_mag_threshold, y_bf,
                             xb[:, 0, :] * 0.01)
             return ext[cb:], y_t

@@ -72,11 +72,12 @@ def mvdr_solve(r, d):
     The unpolished Gauss-Jordan inverse is refined on the right-hand side:
     one residual step reproduces the Newton-polished solution exactly.
     """
+    hp = jax.lax.Precision.HIGHEST   # default bf16 MXU passes lose the solve
     inv = batched_inv(r, polish=False)
-    x0 = jnp.einsum("...mk,...k->...m", inv, d)
-    resid = d - jnp.einsum("...mk,...k->...m", r, x0)
-    num = x0 + jnp.einsum("...mk,...k->...m", inv, resid)
-    den = jnp.einsum("...m,...m->...", jnp.conj(d), num)
+    x0 = jnp.einsum("...mk,...k->...m", inv, d, precision=hp)
+    resid = d - jnp.einsum("...mk,...k->...m", r, x0, precision=hp)
+    num = x0 + jnp.einsum("...mk,...k->...m", inv, resid, precision=hp)
+    den = jnp.einsum("...m,...m->...", jnp.conj(d), num, precision=hp)
     return num / den[..., None]
 
 
@@ -167,15 +168,17 @@ class MvdrModel:
                 rb = r.reshape(m, m, cb * nib)             # (M, K, B)
                 inv = gj_inverse_pallas_native(rb, polish=False)
                 d = jnp.moveaxis(d_ib[ub], 1, -1).reshape(cb * nib, m)
-                # refinement on the RHS == in-kernel Newton polish, at M^2
-                x0 = jnp.einsum("mkb,bk->bm", inv, d)
-                resid = d - jnp.einsum("mkb,bk->bm", rb, x0)
-                num = x0 + jnp.einsum("mkb,bk->bm", inv, resid)
-                den = jnp.einsum("bm,bm->b", jnp.conj(d), num)
+                # refinement on the RHS == in-kernel Newton polish, at M^2;
+                # HIGHEST so the MXU's default bf16 passes don't undo it
+                hp = jax.lax.Precision.HIGHEST
+                x0 = jnp.einsum("mkb,bk->bm", inv, d, precision=hp)
+                resid = d - jnp.einsum("mkb,bk->bm", rb, x0, precision=hp)
+                num = x0 + jnp.einsum("mkb,bk->bm", inv, resid, precision=hp)
+                den = jnp.einsum("bm,bm->b", jnp.conj(d), num, precision=hp)
                 w_opt = num / den[:, None]
                 xt = jnp.moveaxis(xb, 1, -1).reshape(cb * nib, m)
-                y_bf = jnp.einsum("bm,bm->b", jnp.conj(w_opt),
-                                  xt).reshape(cb, nib)
+                y_bf = jnp.einsum("bm,bm->b", jnp.conj(w_opt), xt,
+                                  precision=hp).reshape(cb, nib)
             else:
                 o = jnp.einsum("tmn,tkn->tnmk", ext, jnp.conj(ext))
                 g = jnp.einsum("ct,tnmk->cnmk", band.astype(o.dtype), o,
@@ -183,7 +186,8 @@ class MvdrModel:
                 r = g * wr[None, None, :, :]               # (CB, Nib, M, M)
                 d = jnp.moveaxis(d_ib[ub], 1, -1)          # (CB, Nib, M)
                 w_opt = mvdr_solve(r, d)
-                y_bf = jnp.einsum("tnm,tmn->tn", jnp.conj(w_opt), xb)
+                y_bf = jnp.einsum("tnm,tmn->tn", jnp.conj(w_opt), xb,
+                                  precision=jax.lax.Precision.HIGHEST)
             y_t = jnp.where(magb > p.freq_mag_threshold, y_bf,
                             xb[:, 0, :] * 0.01)
             return ext[cb:], y_t
