@@ -18,6 +18,7 @@ import numpy as np
 from beamform_tpu.config import DasParams, EngineConfig
 from beamform_tpu.geometry import ArrayGeometry
 from beamform_tpu.models import common
+from beamform_tpu.models.batching import BatchableModel
 
 
 def das_spectral(x_spec, weights):
@@ -33,7 +34,7 @@ def das_spectral(x_spec, weights):
     return y / m
 
 
-class DasModel:
+class DasModel(BatchableModel):
     name = "das"
 
     def __init__(self, engine: EngineConfig, geom: ArrayGeometry,

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 from beamform_tpu.config import EngineConfig, GscParams
 from beamform_tpu.geometry import ArrayGeometry
 from beamform_tpu.models import common
+from beamform_tpu.models.batching import BatchableModel
 from beamform_tpu.dsp.wola import overlap_add_carry
 
 
@@ -82,7 +83,7 @@ def gsc_sample_step(state: GscState, a_t, p: GscParams,
     return st, out
 
 
-class GscModel:
+class GscModel(BatchableModel):
     name = "gsc"
 
     def __init__(self, engine: EngineConfig, geom: ArrayGeometry,
@@ -143,6 +144,17 @@ class GscModel:
             out, mu0, upd = ys
             return out, (carry, gstate), (mu0, upd)
         return ys, (carry, gstate)
+
+    def batched_forward(self, x, ctrl, state):
+        """Natively batched override of the BatchableModel default: a vmap
+        over the Pallas kernel would be incorrect (its grid axis 0 is the
+        chunk axis), so the batch rides the kernel's own stream axis."""
+        import jax as _jax
+        fn = self.__dict__.get("_batched_fn")
+        if fn is None:
+            fn = _jax.jit(self._forward_batched)
+            self._batched_fn = fn
+        return fn(x, *ctrl, state)
 
     def _forward_batched(self, x, thetas, idx, state):
         """Multi-stream forward: x (B, M, S), idx (B, T), state leaves with

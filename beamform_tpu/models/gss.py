@@ -28,6 +28,7 @@ import numpy as np
 from beamform_tpu.config import EngineConfig, GssParams
 from beamform_tpu.geometry import ArrayGeometry
 from beamform_tpu.models import common
+from beamform_tpu.models.batching import BatchableConstrainedModel
 
 
 def gss_update(w_sep, a_mat, a_h, x, gate, mu, lam, active_ext=None):
@@ -63,13 +64,24 @@ def gss_update(w_sep, a_mat, a_h, x, gate, mu, lam, active_ext=None):
     return w_sep, yf[:, 0]
 
 
-class GssModel:
+class GssModel(BatchableConstrainedModel):
     name = "gss"
 
+    batch_axes = (None, None, None, None, 0, None)
+
     def __init__(self, engine: EngineConfig, geom: ArrayGeometry,
-                 params: GssParams = GssParams(), interference_angles=()):
+                 params: GssParams = GssParams(), interference_angles=(),
+                 capacity: int | None = None):
+        """``capacity``: interference-slot capacity of the demixing state —
+        the fixed-shape replacement for the reference's buffer reallocation
+        (gss.cpp:241-286). Defaults to len(interference_angles); sessions
+        replaying event timelines that ADD interferences must be built with
+        the timeline's capacity."""
         self.engine, self.geom, self.params = engine, geom, params
         self.interf = tuple(interference_angles)
+        self.capacity = (len(self.interf) if capacity is None
+                         else int(capacity))
+        assert self.capacity >= len(self.interf), (capacity, self.interf)
         self.rdtype, self.cdtype = common.dtypes_of(engine)
         import numpy as _np
         self.np_r = _np.float64 if engine.dtype == "float64" else _np.float32
@@ -92,18 +104,15 @@ class GssModel:
                 self.rdtype, self.cdtype, jnp.asarray(self.ib))
         return jax.vmap(one)(u_theta, u_angles, u_active, u_row0)
 
-    def stream_init(self):
+    def stream_init(self, capacity: int | None = None):
         """Zero demixing state + prev_control = NaN: the first frame always
         'resets' W to A^H (the reference's startup init, gss.cpp:92-93)."""
-        s = len(self.interf) + 1 if self._capacity is None \
-            else self._capacity + 1
+        s = (self.capacity if capacity is None else int(capacity)) + 1
         return (common.wola_carry_init(self.engine, self.geom.num_mics,
                                        self.rdtype),
                 common.device_zeros((len(self.ib), s, self.geom.num_mics),
                                     self.cdtype),
                 jnp.asarray(jnp.nan, dtype=self.rdtype))
-
-    _capacity = None  # set per run by _control_arrays for stream_init
 
     def _forward(self, x, u_theta, u_angles, u_active, u_row0, idx,
                  reset_extra, state):
@@ -151,8 +160,7 @@ class GssModel:
         th = common.theta_per_frame(theta, t)
         tl = interference
         if tl is None:
-            tl = static_interference(t, self.interf)
-        self._capacity = tl.capacity
+            tl = static_interference(t, self.interf, capacity=self.capacity)
         tl_t = InterferenceTimeline(tl.angles[:t], tl.active[:t],
                                     tl.row0[:t], tl.reset[:t])
         u_th, u_ang, u_act, u_r0, idx = unique_control_rows(th, tl_t)
@@ -168,18 +176,20 @@ class GssModel:
         s_ctrl = ctrl[1].shape[-1] + 1
         assert s_state == s_ctrl, (
             f"demixing state holds {s_state} source slots but the "
-            f"interference timeline has capacity {s_ctrl - 1}; create the "
-            "session/state after choosing the timeline capacity "
-            "(set model._capacity or pass the same timeline to process)")
+            f"interference timeline has capacity {s_ctrl - 1}; build the "
+            "model with capacity=timeline.capacity (or size stream_init "
+            "with the same capacity)")
         return self._jit(x, *ctrl, state)
+
+    def batch_controls(self, thetas_bt, interference=None):
+        ctrl = super().batch_controls(thetas_bt, interference)
+        reset_extra = np.zeros((np.asarray(thetas_bt).shape[-1],), dtype=bool)
+        return ctrl + (reset_extra,)
 
     def process(self, x, theta=0.0, interference=None):
         x = common.prepare_input(x, self.engine, self.rdtype)
-        t = x.shape[-1] // self.engine.hop
-        if interference is not None:
-            self._capacity = interference.capacity
-        else:
-            self._capacity = None
-        out, _ = self.process_chunk(x, theta, self.stream_init(),
+        cap = (interference.capacity if interference is not None
+               else self.capacity)
+        out, _ = self.process_chunk(x, theta, self.stream_init(capacity=cap),
                                     interference)
         return out

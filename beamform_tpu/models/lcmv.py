@@ -29,6 +29,7 @@ from beamform_tpu.geometry import (
     steering_matrix,
 )
 from beamform_tpu.models import common
+from beamform_tpu.models.batching import BatchableConstrainedModel
 from beamform_tpu.models.mvdr import batched_inv, white_r
 
 
@@ -113,8 +114,9 @@ def build_constraints_np(geom: ArrayGeometry, freqs, theta, interf_angles,
     return c
 
 
-class LcmvModel:
+class LcmvModel(BatchableConstrainedModel):
     name = "lcmv"
+    batch_axes = (None, None, None, None, 0)   # control rows shared, idx/stream
 
     def __init__(self, engine: EngineConfig, geom: ArrayGeometry,
                  params: LcmvParams = LcmvParams(), interference_angles=()):

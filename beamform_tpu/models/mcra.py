@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from beamform_tpu.config import EngineConfig, McraParams
 from beamform_tpu.geometry import ArrayGeometry
 from beamform_tpu.models import common
+from beamform_tpu.models.batching import BatchableModel
 
 
 class McraState(NamedTuple):
@@ -85,7 +86,7 @@ def mcra_update(state: McraState, s_f, sq, p: McraParams):
     return McraState(s, s_tmp, s_min, lam, current_l, first_l), lam
 
 
-class McraModel:
+class McraModel(BatchableModel):
     name = "mcra"
 
     def __init__(self, engine: EngineConfig, geom: ArrayGeometry,

@@ -26,6 +26,7 @@ import numpy as np
 from beamform_tpu.config import EngineConfig, MvdrParams
 from beamform_tpu.geometry import ArrayGeometry
 from beamform_tpu.models import common
+from beamform_tpu.models.batching import BatchableModel
 
 
 def white_r(m: int, rdtype):
@@ -81,7 +82,7 @@ def mvdr_solve(r, d):
     return num / den[..., None]
 
 
-class MvdrModel:
+class MvdrModel(BatchableModel):
     name = "mvdr"
 
     def __init__(self, engine: EngineConfig, geom: ArrayGeometry,

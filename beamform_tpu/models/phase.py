@@ -21,6 +21,7 @@ import numpy as np
 from beamform_tpu.config import EngineConfig, PhaseParams
 from beamform_tpu.geometry import ArrayGeometry
 from beamform_tpu.models import common
+from beamform_tpu.models.batching import BatchableModel
 
 
 def pair_indices(m: int):
@@ -55,7 +56,7 @@ def phase_mask_spectral(x_spec, weights, params: PhaseParams, nfft: int,
     return y.at[..., 0].set(x_spec[..., 0, 0])
 
 
-class PhaseModel:
+class PhaseModel(BatchableModel):
     name = "phase"
 
     def __init__(self, engine: EngineConfig, geom: ArrayGeometry,

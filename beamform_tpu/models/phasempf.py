@@ -36,6 +36,7 @@ import numpy as np
 from beamform_tpu.config import EngineConfig, PhasempfParams
 from beamform_tpu.geometry import ArrayGeometry
 from beamform_tpu.models import common
+from beamform_tpu.models.batching import BatchableModel
 from beamform_tpu.models.phase import mean_pairwise_phase_dist, pair_indices
 
 
@@ -108,7 +109,7 @@ def moving_average_causal_carry(y, size: int, tail):
     return jnp.convolve(yp, kernel, mode="valid"), yp[-(size - 1):]
 
 
-class PhasempfModel:
+class PhasempfModel(BatchableModel):
     name = "phasempf"
 
     def __init__(self, engine: EngineConfig, geom: ArrayGeometry,

@@ -17,10 +17,11 @@ import jax.numpy as jnp
 from beamform_tpu.config import DasParams, EngineConfig
 from beamform_tpu.geometry import ArrayGeometry
 from beamform_tpu.models import common
+from beamform_tpu.models.batching import BatchableModel
 from beamform_tpu.dsp.wola import frame_signal_carry, overlap_add_carry
 
 
-class RefModel:
+class RefModel(BatchableModel):
     name = "ref"
 
     def __init__(self, engine: EngineConfig, geom: ArrayGeometry,
@@ -59,7 +60,7 @@ class RefModel:
         return out
 
 
-class ReadModel:
+class ReadModel(BatchableModel):
     name = "read"
 
     def __init__(self, engine: EngineConfig, geom: ArrayGeometry,

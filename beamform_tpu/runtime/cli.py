@@ -265,10 +265,10 @@ def main(argv=None) -> int:
     if args.stream:
         from beamform_tpu.runtime.streaming import StreamingSession
         from beamform_tpu.runtime.timeline import InterferenceTimeline
-        if interference is not None and hasattr(model, "_capacity"):
+        if interference is not None and hasattr(model, "capacity"):
             # size the demixing state for the timeline's slot capacity
             # BEFORE stream_init runs (gss)
-            model._capacity = interference.capacity
+            model.capacity = interference.capacity
         sess = StreamingSession(model, monitor=True)
         if args.load_state:
             sess.load(args.load_state)
