@@ -183,6 +183,11 @@ class MvdrParams:
     freq_max: float = 4000.0
     freq_min: float = 400.0
     out_amp: float = 4.5
+    # implementation strategy, not a reference param: "sparse" solves only
+    # gate-passing (frame, bin) pairs like the reference's per-bin loop
+    # (mvdr.cpp:84-96), "dense" solves every in-band bin, "auto" picks
+    # sparse on TPU float32 and dense elsewhere.
+    solver: str = "auto"
 
 
 @dataclass(frozen=True)
@@ -195,6 +200,7 @@ class LcmvParams:
     freq_min: float = 400.0
     out_amp: float = 4.5
     interf_angle_threshold: float = 5.0
+    solver: str = "auto"          # see MvdrParams.solver
 
 
 @dataclass(frozen=True)
@@ -288,6 +294,23 @@ PARAM_CLASSES = {
 # Reference launch-file parameter name quirks: phase.launch passes min_mag /
 # smooth_size which the phase node never reads (phase.cpp:177-189 vs
 # launch/phase.launch:6-8). We mimic by dropping unknown keys.
+
+
+def load_launch_params(node: str, path: Optional[str] = None
+                       ) -> Dict[str, Any]:
+    """The per-node hyperparameters the reference's launch files apply at
+    node start (launch/mvdr.launch:4-9 etc.), shipped as
+    configs/launch_params.yaml. Running ``beamform-tpu <node>`` applies
+    these by default (``--launch-preset off`` restores in-code defaults),
+    exactly like ``roslaunch beamform <node>.launch`` does for the
+    reference."""
+    import os
+    if path is None:
+        path = os.path.join(os.path.dirname(__file__), "configs",
+                            "launch_params.yaml")
+    with open(path) as f:
+        doc = yaml.safe_load(f) or {}
+    return dict(doc.get(node) or {})
 
 
 def make_params(model: str, overrides: Optional[Dict[str, Any]] = None):

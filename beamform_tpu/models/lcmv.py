@@ -33,7 +33,7 @@ from beamform_tpu.models.batching import BatchableConstrainedModel
 from beamform_tpu.models.mvdr import batched_inv, white_r
 
 
-def lcmv_solve(r, c, inactive_diag=None):
+def lcmv_solve(r, c, inactive_diag=None, pallas_min_batch: int = 2048):
     """w = R^-1 C (C^H R^-1 C)^-1, output column 0 (lcmv.cpp:116-119).
     r (..., M, M); c (..., M, S) -> (..., M).
 
@@ -46,7 +46,7 @@ def lcmv_solve(r, c, inactive_diag=None):
     # HIGHEST: the MXU's default bf16 passes turn the ill-conditioned
     # solve chain into ~1e-1 output deviations (vs ~1e-4 at f32)
     hp = jax.lax.Precision.HIGHEST
-    inv = batched_inv(r, polish=False)
+    inv = batched_inv(r, polish=False, pallas_min_batch=pallas_min_batch)
     ric0 = jnp.einsum("...mk,...ks->...ms", inv, c, precision=hp)
     # refinement on the S-column RHS == Newton polish of R^-1, at M^2 S
     resid = c - jnp.einsum("...mk,...ks->...ms", r, ric0, precision=hp)
@@ -56,7 +56,9 @@ def lcmv_solve(r, c, inactive_diag=None):
         s = inner.shape[-1]
         eye = jnp.eye(s, dtype=inner.dtype)
         inner = inner + inactive_diag.astype(inner.dtype)[..., :, None] * eye
-    w_all = jnp.einsum("...ms,...sk->...mk", ric, batched_inv(inner),
+    w_all = jnp.einsum("...ms,...sk->...mk", ric,
+                       batched_inv(inner,
+                                   pallas_min_batch=pallas_min_batch),
                        precision=hp)
     return w_all[..., 0]
 
@@ -146,7 +148,71 @@ class LcmvModel(BatchableConstrainedModel):
                                      self.geom.num_mics, len(self.ib)),
                                     self.cdtype))
 
+    def _use_sparse(self) -> bool:
+        if self.params.solver == "sparse":
+            return True
+        if self.params.solver == "dense":
+            return False
+        return common.on_tpu_device() and self.cdtype == jnp.complex64
+
+    def _forward_sparse(self, x, u_theta, u_angles, u_active, u_row0, idx,
+                        state):
+        """Gate-aware path: constraint solves only at gate-passing
+        (frame, bin) pairs (lcmv.cpp:108-138 inside the energy-gate branch);
+        see models/gated_sparse.py."""
+        from beamform_tpu.models.gated_sparse import (
+            compact_gate, flatten_bins, gather_hist, run_gated)
+        p = self.params
+        carry, hist0 = state
+        c_uniq = self._constraints_traced(u_theta, u_angles, u_active,
+                                          u_row0)               # (U,Nib,M,S)
+        ones1 = jnp.ones((u_active.shape[0], 1), dtype=self.rdtype)
+        inact = 1.0 - jnp.concatenate(
+            [ones1, jnp.asarray(u_active, dtype=self.rdtype)], axis=1)
+        m = self.geom.num_mics
+        w_hist = p.past_windows
+        x_spec, tail = common.stft_ext_carry(x, self.engine, self.window,
+                                             self.cdtype, carry.tail)
+        mag = common.mag_mean_over_mics(x_spec, self.engine.fft_win)
+        ib = jnp.asarray(self.ib)
+        nib = len(self.ib)
+        x_ib = x_spec[:, :, ib]
+        mag_ib = mag[:, ib]
+        wr = white_r(m, self.rdtype).astype(self.cdtype)
+        t = x_ib.shape[0]
+        s = c_uniq.shape[-1]
+
+        x_ext = jnp.concatenate([hist0, x_ib], axis=0)
+        xe2 = flatten_bins(x_ext)
+        c2 = c_uniq.reshape(-1, m, s)                      # (U*Nib, M, S)
+        order, k_total = compact_gate(mag_ib > p.freq_mag_threshold)
+        y_base = x_ib[:, 0, :] * 0.01
+        hp = jax.lax.Precision.HIGHEST
+
+        def chunk_body(f, n_, valid):
+            h = gather_hist(xe2, f, n_, w_hist, nib)       # (W, C, M)
+            r = jnp.einsum("wcm,wck->cmk", h, jnp.conj(h),
+                           precision=hp) * wr[None, :, :]
+            cc = c2[idx[f] * nib + n_]                     # (C, M, S)
+            ia = inact[idx[f]]                             # (C, S)
+            w0 = lcmv_solve(r, cc, ia, pallas_min_batch=1)
+            xc = xe2[(f + w_hist) * nib + n_]
+            return jnp.einsum("cm,cm->c", jnp.conj(w0), xc, precision=hp)
+
+        y_ib = run_gated(order, k_total, y_base, chunk_body)
+        hist = x_ext[t:t + w_hist]
+
+        y = jnp.zeros((x_spec.shape[0], x_spec.shape[2]), dtype=self.cdtype)
+        y = y.at[:, ib].set(y_ib)
+        y = y.at[:, 0].set(x_spec[:, 0, 0])
+        out, prev = common.istft_ext_carry(y, self.engine, self.window,
+                                           carry.out_prev)
+        return out * p.out_amp, (common.WolaCarry(tail, prev), hist)
+
     def _forward(self, x, u_theta, u_angles, u_active, u_row0, idx, state):
+        if self._use_sparse():
+            return self._forward_sparse(x, u_theta, u_angles, u_active,
+                                        u_row0, idx, state)
         p = self.params
         carry, hist0 = state
         c_uniq = self._constraints_traced(u_theta, u_angles, u_active,

@@ -35,7 +35,7 @@ def white_r(m: int, rdtype):
             + 0.001 * jnp.eye(m, dtype=rdtype))
 
 
-def batched_inv(a, polish: bool = True):
+def batched_inv(a, polish: bool = True, pallas_min_batch: int = 2048):
     """Batched complex matrix inverse (replaces Eigen .inverse()).
 
     XLA's jnp.linalg.inv lowers through pivoted LU — no complex support on
@@ -57,7 +57,8 @@ def batched_inv(a, polish: bool = True):
     b = int(np.prod(lead)) if lead else 1
     from beamform_tpu.models.common import on_tpu_device
     if (on_tpu_device() and jnp.issubdtype(a.dtype, jnp.complexfloating)
-            and a.dtype == jnp.complex64 and m <= 64 and b >= 2048):
+            and a.dtype == jnp.complex64 and m <= 64
+            and b >= pallas_min_batch):
         return gj_inverse_pallas(a.reshape((b, m, m)),
                                  polish=polish).reshape(a.shape)
     inv = gauss_jordan_inv(a)
@@ -115,7 +116,89 @@ class MvdrModel(BatchableModel):
         cb = max(8, min(128, int(budget) - w, t))
         return cb
 
+    def _use_sparse(self) -> bool:
+        if self.params.solver == "sparse":
+            return True
+        if self.params.solver == "dense":
+            return False
+        return common.on_tpu_device() and self.cdtype == jnp.complex64
+
+    def _forward_sparse(self, x, thetas, w_idx, state):
+        """Gate-aware path: solve ONLY the gate-passing (frame, bin) pairs,
+        like the reference's per-bin loop (mvdr.cpp:84-96) — see
+        models/gated_sparse.py. Output and carried state match the dense
+        path (same math, per-candidate accumulation order)."""
+        from beamform_tpu.models.gated_sparse import (
+            compact_gate, flatten_bins, gather_hist, run_gated)
+        p = self.params
+        m = self.geom.num_mics
+        n = self.engine.fft_win
+        w_hist = p.past_windows
+        carry, hist0 = state
+        x_spec, tail = common.stft_ext_carry(x, self.engine, self.window,
+                                             self.cdtype, carry.tail)
+        w_uniq = common.weights_for_thetas(self.geom, self.freqs, thetas,
+                                           self.rdtype, self.cdtype)
+        mag = common.mag_mean_over_mics(x_spec, n)
+        ib = jnp.asarray(self.ib)
+        nib = len(self.ib)
+        x_ib = x_spec[:, :, ib]                            # (T, M, Nib)
+        mag_ib = mag[:, ib]
+        d_ib = w_uniq[:, :, ib]                            # (U, M, Nib)
+        wr = white_r(m, self.rdtype).astype(self.cdtype)
+        t = x_ib.shape[0]
+
+        x_ext = jnp.concatenate([hist0, x_ib], axis=0)     # (W+T, M, Nib)
+        xe2 = flatten_bins(x_ext)                          # ((W+T)*Nib, M)
+        d2 = jnp.moveaxis(d_ib, 1, 2).reshape(-1, m)       # (U*Nib, M)
+        order, k_total = compact_gate(mag_ib > p.freq_mag_threshold)
+        y_base = x_ib[:, 0, :] * 0.01                      # mvdr.cpp:96
+
+        from beamform_tpu.models.common import on_tpu_device
+        native = (on_tpu_device() and self.cdtype == jnp.complex64
+                  and m <= 64)
+        hp = jax.lax.Precision.HIGHEST
+
+        def chunk_body(f, n_, valid):
+            h = gather_hist(xe2, f, n_, w_hist, nib)       # (W, C, M)
+            d = d2[w_idx[f] * nib + n_]                    # (C, M)
+            xc = xe2[(f + w_hist) * nib + n_]              # (C, M)
+            if native:
+                r = jnp.einsum("wcm,wck->mkc", h, jnp.conj(h),
+                               precision=hp) * wr[:, :, None]
+                from beamform_tpu.kernels.linalg import (
+                    gj_inverse_pallas_native)
+                inv = gj_inverse_pallas_native(r, polish=False)
+                x0 = jnp.einsum("mkc,ck->cm", inv, d, precision=hp)
+                resid = d - jnp.einsum("mkc,ck->cm", r, x0, precision=hp)
+                num = x0 + jnp.einsum("mkc,ck->cm", inv, resid,
+                                      precision=hp)
+            else:
+                r = jnp.einsum("wcm,wck->cmk", h, jnp.conj(h),
+                               precision=hp) * wr[None, :, :]
+                inv = batched_inv(r, polish=False)
+                x0 = jnp.einsum("cmk,ck->cm", inv, d, precision=hp)
+                resid = d - jnp.einsum("cmk,ck->cm", r, x0, precision=hp)
+                num = x0 + jnp.einsum("cmk,ck->cm", inv, resid,
+                                      precision=hp)
+            den = jnp.einsum("cm,cm->c", jnp.conj(d), num, precision=hp)
+            w_opt = num / den[:, None]
+            return jnp.einsum("cm,cm->c", jnp.conj(w_opt), xc, precision=hp)
+
+        y_ib = run_gated(order, k_total, y_base, chunk_body)
+        hist = x_ext[t:t + w_hist]
+
+        y = jnp.zeros((x_spec.shape[0], x_spec.shape[2]),
+                      dtype=self.cdtype)                      # (T, NB)
+        y = y.at[:, ib].set(y_ib)
+        y = y.at[:, 0].set(x_spec[:, 0, 0])                   # mvdr.cpp:76
+        out, prev = common.istft_ext_carry(y, self.engine, self.window,
+                                           carry.out_prev)
+        return out * p.out_amp, (common.WolaCarry(tail, prev), hist)
+
     def _forward(self, x, thetas, w_idx, state):
+        if self._use_sparse():
+            return self._forward_sparse(x, thetas, w_idx, state)
         p = self.params
         m = self.geom.num_mics
         n = self.engine.fft_win

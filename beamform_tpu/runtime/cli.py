@@ -94,6 +94,11 @@ def build_parser():
                    metavar="KEY=VALUE",
                    help="node hyperparameter override (repeatable), e.g. "
                         "--param freq_max=16000")
+    p.add_argument("--launch-preset", choices=("on", "off"), default="on",
+                   help="start from the reference's launch/*.launch "
+                        "per-node parameters (configs/launch_params.yaml), "
+                        "then apply --param overrides; 'off' starts from "
+                        "the in-code node defaults instead (default: on)")
     p.add_argument("--out-format", choices=("pcm16", "pcm24", "pcm32",
                                             "float32"), default="pcm16")
     p.add_argument("--report-json", action="store_true",
@@ -118,18 +123,40 @@ def theta_from_spec(spec: str, num_frames: int, hop: int, fs: int,
                     initial: float) -> np.ndarray:
     """Change-point spec 'sec:angle,...' -> per-frame timeline."""
     th = np.full(num_frames, initial, dtype=np.float64)
-    if spec.endswith(".json"):
-        with open(spec) as f:
-            vals = np.asarray(json.load(f), dtype=np.float64)
-        return vals
-    if spec.endswith(".csv"):
-        vals = np.loadtxt(spec, delimiter=",", dtype=np.float64).ravel()
+    if spec.endswith((".json", ".csv")):
+        if spec.endswith(".json"):
+            with open(spec) as f:
+                vals = np.asarray(json.load(f), dtype=np.float64).ravel()
+        else:
+            vals = np.loadtxt(spec, delimiter=",", dtype=np.float64).ravel()
+        if len(vals) == 0:
+            return th
+        if len(vals) > num_frames:   # longer file: extra angles are unused
+            print(f"note: theta timeline has {len(vals)} frames, stream has "
+                  f"{num_frames}; ignoring the tail", file=sys.stderr)
+            return vals[:num_frames]
+        if len(vals) < num_frames:   # shorter file: last angle holds
+            vals = np.concatenate(
+                [vals, np.full(num_frames - len(vals), vals[-1])])
         return vals
     for item in spec.split(","):
         t_s, a = item.split(":")
         frame = int(float(t_s) * fs / hop)
         th[min(frame, num_frames - 1):] = float(a)
     return th
+
+
+def _node_params(args) -> dict:
+    """Launch preset (the reference's launch/*.launch values, on by
+    default) overlaid with --param KEY=VALUE overrides."""
+    params = {}
+    if args.launch_preset == "on":
+        from beamform_tpu.config import load_launch_params
+        params = load_launch_params(args.node)
+    for kv in args.param:
+        k, v = kv.split("=", 1)
+        params[k] = _parse_value(v)
+    return params
 
 
 def run_live(args) -> int:
@@ -151,8 +178,7 @@ def run_live(args) -> int:
     fs = args.live_rate
     engine = EngineConfig(sample_rate=fs, window_size=args.window_size,
                           dtype=args.dtype)
-    overrides = {k: _parse_value(v)
-                 for k, v in (kv.split("=", 1) for kv in args.param)}
+    overrides = _node_params(args)
     model = get_model(args.node, engine, array_cfg, overrides)
     sess = StreamingSession(model, monitor=True)
     if args.load_state:
@@ -234,8 +260,7 @@ def main(argv=None) -> int:
         theta = theta_from_spec(args.theta_timeline, num_frames, engine.hop,
                                 fs, float(theta))
 
-    overrides = dict(kv.split("=", 1) for kv in args.param)
-    overrides = {k: _parse_value(v) for k, v in overrides.items()}
+    overrides = _node_params(args)
     model = get_model(args.node, engine, array_cfg, overrides)
 
     interference = None
