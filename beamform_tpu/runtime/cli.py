@@ -32,7 +32,7 @@ from beamform_tpu.models import get_model
 from beamform_tpu.runtime import wav as wav_io
 from beamform_tpu.runtime.resample import resample
 
-NODES = tuple(PARAM_CLASSES.keys())
+NODES = tuple(PARAM_CLASSES.keys()) + ("write",)
 
 
 def _parse_value(v: str):
@@ -108,6 +108,15 @@ def build_parser():
                    help="lcmv/gss: 'sec:id:angle,...' interference messages "
                         "(the /theta_interference protocol); initial set "
                         "comes from angle_interfN in the array config")
+    p.add_argument("--theta-control", default=None, metavar="PATH",
+                   help="live steering side channel (the /theta topic, "
+                        "das.cpp:94-99): a file polled at every chunk "
+                        "boundary whose last line is the new angle in "
+                        "degrees; works in --live and --stream modes")
+    p.add_argument("--consumer-lead", type=int, default=0, metavar="N",
+                   help="write node: audio callbacks that fire before the "
+                        "first message arrives (each plays one window of "
+                        "silence — the decoupling lag, jack_write.cpp:7-10)")
     p.add_argument("--stream", type=int, default=None, metavar="FRAMES",
                    help="process in streaming chunks of FRAMES hops "
                         "(fixed-shape compiled step, O(1) memory) instead "
@@ -159,6 +168,89 @@ def _node_params(args) -> dict:
     return params
 
 
+def _poll_theta(path: str, current: float) -> float:
+    """Live /theta side channel: the last non-empty line of ``path`` is the
+    steering angle in degrees (theta_roscallback, das.cpp:94-99). Unreadable
+    or unparsable content keeps the current angle."""
+    try:
+        with open(path) as f:
+            lines = [ln.strip() for ln in f.read().splitlines() if ln.strip()]
+        if lines:
+            return float(lines[-1])
+    except (OSError, ValueError):
+        pass
+    return current
+
+
+def run_write(args) -> int:
+    """The rosjack_write playback node: play a processed stream through the
+    reference's 50-window decoupling buffer (jack_write.cpp:7-10,
+    rosjack.cpp:549-577). File mode replays message/callback pairs; --live
+    decouples a stdin producer from a wall-clock-paced stdout consumer."""
+    from beamform_tpu.runtime.playback import Ros2JackBuffer, play_stream
+
+    hop = args.window_size
+    if args.live:
+        import threading
+        import time as _time
+
+        fs = args.live_rate
+        buf = Ros2JackBuffer(hop)
+        lock = threading.Lock()
+        eof = threading.Event()
+
+        def producer():
+            stdin = sys.stdin.buffer
+            while True:
+                raw = stdin.read(4 * hop)
+                if not raw:
+                    break
+                msg = np.frombuffer(raw, dtype="<f4")
+                with lock:
+                    buf.push(msg)
+            eof.set()
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        stdout = sys.stdout.buffer
+        period = hop / fs
+        next_t = _time.perf_counter()
+        while not (eof.is_set() and buf.popped >= buf.pushed):
+            next_t += period
+            delay = next_t - _time.perf_counter()
+            if delay > 0:
+                _time.sleep(delay)
+            with lock:
+                out = buf.pop(hop)
+            stdout.write(out.astype("<f4").tobytes())
+            stdout.flush()
+        report = {"underruns": getattr(buf, "underruns", 0),
+                  "overwrites": getattr(buf, "overwrites", 0)}
+        print(json.dumps({"write": report}), file=sys.stderr)
+        return 0
+
+    if args.input is None:
+        print("error: write needs --in (or --live)", file=sys.stderr)
+        return 2
+    x, fs = wav_io.read_wav(args.input)
+    mono = x[0] if x.ndim == 2 else x    # the jackaudio topic is mono
+    pad = (-len(mono)) % hop
+    mono = np.pad(mono, (0, pad))
+    windows = mono.reshape(-1, hop)
+    y = play_stream(windows, hop, consumer_lead=args.consumer_lead)
+    out_path = args.output or (args.input + ".write.wav")
+    try:
+        wav_io.write_wav(out_path, y[None, :], fs, fmt=args.out_format)
+    except OSError as e:
+        print(f"warning: could not open '{out_path}' ({e}); continuing "
+              "without file output", file=sys.stderr)
+    if args.report_json:
+        print(json.dumps({"node": "write", "samples_in": int(x.shape[-1]),
+                          "samples_out": int(len(y)),
+                          "consumer_lead": args.consumer_lead}))
+    return 0
+
+
 def run_live(args) -> int:
     """Live pipe mode: the framework's stand-in for the reference's JACK
     client loop (rosjack_create + jack_callback). Raw interleaved float32
@@ -203,6 +295,8 @@ def run_live(args) -> int:
         raw = stdin.read(chunk * frame_bytes)
         if not raw:
             break
+        if args.theta_control:    # the /theta topic, polled per chunk
+            theta = _poll_theta(args.theta_control, theta)
         n = len(raw) // frame_bytes
         block = np.frombuffer(raw[:n * frame_bytes], dtype="<f4")
         block = block.reshape(n, channels).T
@@ -226,6 +320,9 @@ def main(argv=None) -> int:
             jax.config.update("jax_default_device", jax.devices("cpu")[0])
         except RuntimeError:
             pass
+
+    if args.node == "write":
+        return run_write(args)
 
     if args.live:
         return run_live(args)
@@ -302,6 +399,8 @@ def main(argv=None) -> int:
         xp = np.pad(x, ((0, 0), (0, pad)))
         outs = []
         for i in range(0, xp.shape[1], chunk):
+            if args.theta_control and not isinstance(theta, np.ndarray):
+                theta = _poll_theta(args.theta_control, float(theta))
             f0 = i // engine.hop
             f1 = f0 + args.stream
             if isinstance(theta, np.ndarray):
