@@ -107,6 +107,89 @@ def sharded_spectral_pipeline(mesh: Mesh, engine: EngineConfig, weights,
               jnp.asarray(weights, dtype=cdtype))
 
 
+def state_partition_specs(model, state, mesh: Mesh | None = None):
+    """PartitionSpecs for a model's batched carried state: leading axis is
+    the ``stream`` (data-parallel) axis; the axis matching the model's
+    in-band bin count is the ``bin`` (tensor-parallel) axis — MVDR/LCMV FFT
+    histories (B, W, M, Nib) and GSS demixing stacks (B, Nib, S, M) are
+    per-bin independent (mvdr.cpp:77-105), the textbook bin-sharded state.
+
+    A bin count not divisible by the mesh's ``bin`` axis falls back to
+    replicating that axis (GSPMD's device_put refuses uneven shards);
+    choose freq_min/freq_max so the in-band count divides the mesh for
+    full tensor parallelism.
+    """
+    nib = len(getattr(model, "ib", ()))
+    bin_size = dict(zip(mesh.axis_names, mesh.devices.shape)).get(
+        "bin", 1) if mesh is not None else 1
+    shard_bins = nib and bin_size > 1 and nib % bin_size == 0
+
+    def spec_of(leaf):
+        dims = [None] * leaf.ndim
+        if leaf.ndim:
+            dims[0] = "stream"
+        for i in range(1, leaf.ndim):
+            if shard_bins and leaf.shape[i] == nib:
+                dims[i] = "bin"
+                break
+        return P(*dims)
+
+    return jax.tree.map(spec_of, state)
+
+
+def sharded_state_init(mesh: Mesh, model, batch: int):
+    """The model's batched carried state, placed over the mesh."""
+    state = model.batched_state_init(batch)
+    specs = state_partition_specs(model, state, mesh)
+    return jax.tree.map(
+        lambda leaf, s: jax.device_put(leaf, NamedSharding(mesh, s)),
+        state, specs)
+
+
+def sharded_batched_step(mesh: Mesh, model, x_batch, thetas, state):
+    """One batched chunk of a REAL model over the (stream, bin) mesh.
+
+    Unlike round 1's bespoke pipelines, this shards the models' own
+    ``_forward`` (the same code path the parity suite proves ≤1e-9 against
+    the oracle): streams ride the data-parallel axis, per-bin state rides
+    the ``bin`` axis, and XLA inserts the bin all-gather at the iFFT
+    boundary. MVDR/LCMV must be built with ``solver="dense"`` here — the
+    gate-sparse path's global compaction is a single-device optimization.
+
+    x_batch (B, M, S); thetas scalar | (B,) | (B, T). Returns
+    (out (B, S), new_state) with the same shardings as the inputs.
+    """
+    if hasattr(model, "_use_sparse") and model._use_sparse():
+        raise ValueError(
+            "sharded execution needs solver='dense' (the gate-sparse "
+            "path's global compaction is a single-device optimization)")
+    rdtype = model.rdtype
+    x = jnp.asarray(x_batch, dtype=rdtype)
+    b = x.shape[0]
+    t = x.shape[-1] // model.engine.hop
+    th = np.asarray(thetas, dtype=np.float64)
+    if th.ndim == 0:
+        th = np.full((b, t), float(th))
+    elif th.ndim == 1:
+        th = np.repeat(th[:, None], t, axis=1)
+    ctrl = model.batch_controls(th)
+
+    in_axes = (0,) + tuple(model.batch_axes) + (0,)
+    fn = jax.vmap(model._forward, in_axes=in_axes)
+
+    x_sh = NamedSharding(mesh, P(*(["stream"] + [None] * (x.ndim - 1))))
+    ctrl_sh = tuple(
+        NamedSharding(mesh, P(*(["stream"] + [None] * (np.ndim(c) - 1)))
+                      if ax == 0 else P())
+        for c, ax in zip(ctrl, model.batch_axes))
+    st_sh = jax.tree.map(lambda s: NamedSharding(mesh, s),
+                         state_partition_specs(model, state, mesh))
+    out_sh = NamedSharding(mesh, P("stream", None))
+    jf = jax.jit(fn, in_shardings=(x_sh,) + ctrl_sh + (st_sh,),
+                 out_shardings=(out_sh, st_sh))
+    return jf(x, *ctrl, state)
+
+
 def make_training_state(mesh: Mesh, engine: EngineConfig, batch: int,
                         num_mics: int, num_sources: int, steering):
     """Per-stream, per-bin GSS demixing state W = A^H, sharded (stream, bin).
