@@ -346,6 +346,12 @@ class EngineConfig:
     # MCRA / PhaseMPF leave y_fft[0] unwritten (OOB write at mcra.cpp:127,
     # phasempf.cpp:274); on a fresh heap page that means DC==0 forever.
     bug_dc_zero: bool = True
+    # Audit escape hatch: run the reference's literal N-point complex FFT
+    # layout (das.cpp:127-128, util.h:190-199) instead of the extended-rFFT
+    # shadow-bin layout, to check the equivalence argument on real TPU
+    # numerics (tools/tpu_deviation_sweep.py --full-fft). Slower; the
+    # default layout is proven bit-equivalent on CPU f64.
+    full_fft: bool = False
 
     @property
     def fft_win(self) -> int:

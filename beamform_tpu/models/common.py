@@ -65,6 +65,11 @@ def ext_bins(nfft: int) -> int:
     return nfft // 2 + 2
 
 
+def num_bins(engine: EngineConfig) -> int:
+    """Width of the active bin layout (extended rFFT or full FFT)."""
+    return engine.fft_win if engine.full_fft else ext_bins(engine.fft_win)
+
+
 def on_tpu_device() -> bool:
     """True when computation actually lands on a TPU. ``default_backend()``
     alone is wrong under the axon plugin, which reports 'tpu' even when the
@@ -105,22 +110,45 @@ def _irfft(y_r, engine: EngineConfig):
 
 
 def make_freqs_ext(engine: EngineConfig) -> np.ndarray:
-    """Frequency vector in the extended layout (faithful quirks included)."""
+    """Frequency vector in the active bin layout (faithful quirks included):
+    the extended-rFFT layout by default, or the reference's literal
+    full-length vector under ``EngineConfig.full_fft`` (util.h:190-199)."""
     f = frequency_vector(engine.fft_win, engine.sample_rate,
                          exact=engine.exact_freqs)
+    if engine.full_fft:
+        return f
     n = engine.fft_win
     return np.concatenate([f[:n // 2 + 1], f[n // 2 + 1:n // 2 + 2]])
 
 
+def _analysis_bins(frames, engine: EngineConfig, cdtype):
+    """Windowed frames -> per-bin spectra in the active layout: extended
+    rFFT (half the FFT work, bit-equivalent — see layout note above), or the
+    reference's literal N-point complex FFT under ``EngineConfig.full_fft``
+    (das.cpp:127-128) for on-device equivalence audits."""
+    if engine.full_fft:
+        return jnp.fft.fft(frames).astype(cdtype)         # (..., N)
+    spec = _rfft(frames, engine).astype(cdtype)           # (..., N/2+1)
+    h = engine.fft_win // 2
+    shadow = jnp.conj(spec[..., h - 1:h])
+    return jnp.concatenate([spec, shadow], axis=-1)       # (..., NB)
+
+
+def synth_frames_ext(y_ext, engine: EngineConfig):
+    """Per-bin spectra in the active layout -> real time frames
+    (pre-window): fold + irFFT, or real(ifft(.)) under full_fft — exactly
+    what the reference's creal(ifft)/fft_win does (util.h:244-248)."""
+    if engine.full_fft:
+        return jnp.fft.ifft(y_ext).real
+    return _irfft(fold_ext(y_ext, engine.fft_win), engine)
+
+
 def stft_ext(x, engine: EngineConfig, window, cdtype):
-    """(M, S) -> (T, M, NB) spectra in the extended rFFT layout."""
+    """(M, S) -> (T, M, NB) spectra in the active bin layout."""
     from beamform_tpu.dsp.wola import frame_signal
     frames = frame_signal(x, engine.hop) * jnp.asarray(window,
                                                        dtype=x.dtype)
-    spec = _rfft(frames, engine).astype(cdtype)           # (M, T, N/2+1)
-    h = engine.fft_win // 2
-    shadow = jnp.conj(spec[..., h - 1:h])
-    spec = jnp.concatenate([spec, shadow], axis=-1)       # (M, T, NB)
+    spec = _analysis_bins(frames, engine, cdtype)         # (M, T, NB)
     return jnp.moveaxis(spec, 0, 1)
 
 
@@ -136,10 +164,9 @@ def fold_ext(y_ext, nfft: int):
 
 
 def istft_ext(y_ext, engine: EngineConfig, window):
-    """(T, NB) extended-layout spectra -> (T*hop,) real output stream."""
+    """(T, NB) active-layout spectra -> (T*hop,) real output stream."""
     from beamform_tpu.dsp.wola import overlap_add
-    y_r = fold_ext(y_ext, engine.fft_win)
-    p = _irfft(y_r, engine)
+    p = synth_frames_ext(y_ext, engine)
     win = jnp.asarray(window, dtype=p.dtype)
     return overlap_add(p * win, engine.hop)
 
@@ -184,10 +211,7 @@ def stft_ext_carry(x, engine: EngineConfig, window, cdtype, tail):
     from beamform_tpu.dsp.wola import frame_signal_carry
     frames, new_tail = frame_signal_carry(x, engine.hop, tail)
     frames = frames * jnp.asarray(window, dtype=x.dtype)
-    spec = _rfft(frames, engine).astype(cdtype)
-    h = engine.fft_win // 2
-    shadow = jnp.conj(spec[..., h - 1:h])
-    spec = jnp.concatenate([spec, shadow], axis=-1)
+    spec = _analysis_bins(frames, engine, cdtype)
     return jnp.moveaxis(spec, 0, 1), new_tail
 
 
@@ -198,18 +222,14 @@ def stft_ext_carry_mt(x, engine: EngineConfig, window, cdtype, tail):
     from beamform_tpu.dsp.wola import frame_signal_carry
     frames, new_tail = frame_signal_carry(x, engine.hop, tail)
     frames = frames * jnp.asarray(window, dtype=x.dtype)
-    spec = _rfft(frames, engine).astype(cdtype)
-    h = engine.fft_win // 2
-    shadow = jnp.conj(spec[..., h - 1:h])
-    return jnp.concatenate([spec, shadow], axis=-1), new_tail
+    return _analysis_bins(frames, engine, cdtype), new_tail
 
 
 def istft_ext_carry(y_ext, engine: EngineConfig, window, out_prev):
     """Streaming istft_ext: (T, NB) + out_prev (hop,) ->
     ((T*hop,) stream, new_out_prev)."""
     from beamform_tpu.dsp.wola import overlap_add_carry
-    y_r = fold_ext(y_ext, engine.fft_win)
-    p = _irfft(y_r, engine)
+    p = synth_frames_ext(y_ext, engine)
     win = jnp.asarray(window, dtype=p.dtype)
     return overlap_add_carry(p * win, engine.hop, out_prev)
 

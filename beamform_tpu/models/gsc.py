@@ -111,8 +111,7 @@ class GscModel(BatchableModel):
                                            self.rdtype, self.cdtype)
         w = w_uniq[w_idx]                       # (T, M, NB)
         aligned_spec = x_spec * jnp.conj(w)     # gsc.cpp:62-65
-        y_r = common.fold_ext(aligned_spec, self.engine.fft_win)
-        y = common._irfft(y_r, self.engine)                     # (T, M, N)
+        y = common.synth_frames_ext(aligned_spec, self.engine)  # (T, M, N)
         y = y * self.window
         y = jnp.moveaxis(y, 1, 0)               # (M, T, N)
         streams, prev = overlap_add_carry(y, self.engine.hop, carry.out_prev)

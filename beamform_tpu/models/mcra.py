@@ -128,7 +128,7 @@ class McraModel(BatchableModel):
 
     def stream_init(self):
         return (common.wola_carry_init(self.engine, 1, self.rdtype),
-                mcra_init_state(common.ext_bins(self.engine.fft_win),
+                mcra_init_state(common.num_bins(self.engine),
                                 self.rdtype))
 
     def process_chunk(self, x_chunk, theta, state):

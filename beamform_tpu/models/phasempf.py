@@ -129,7 +129,7 @@ class PhasempfModel(BatchableModel):
                                 dtype=self.rdtype)
         return (common.wola_carry_init(self.engine, self.geom.num_mics,
                                        self.rdtype),
-                mpf_init_state(common.ext_bins(self.engine.fft_win),
+                mpf_init_state(common.num_bins(self.engine),
                                self.rdtype),
                 smooth_tail)
 

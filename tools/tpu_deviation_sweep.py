@@ -30,6 +30,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mics", type=int, default=16, choices=(3, 16))
     ap.add_argument("--seconds", type=float, default=0.25)
+    ap.add_argument("--full-fft", action="store_true",
+                    help="additionally run each node in the full-FFT audit "
+                         "layout (EngineConfig.full_fft: the reference's "
+                         "literal N-point complex FFT, das.cpp:127-128) on "
+                         "the chip and report ext-rFFT vs full-FFT max "
+                         "deviation at f32")
     args = ap.parse_args()
 
     # phase 1: f64 reference math on CPU (x64 must be OFF before any TPU
@@ -80,15 +86,30 @@ def main():
     # phase 2: f32 on the accelerator
     jax.config.update("jax_enable_x64", False)
     jax.config.update("jax_default_device", jax.devices()[0])
+    e32f = EngineConfig(sample_rate=FS, window_size=HOP, dtype="float32",
+                        full_fft=True)
     worst = 0.0
+    worst_ff = 0.0
     for n, (c, p) in cases.items():
         y32 = np.asarray(get_model(n, e32, c, p).process(x, THETA))
         dev = float(np.max(np.abs(y32 - y64[n])))
         worst = max(worst, dev)
         flag = "OK  " if dev < 1e-3 else "FAIL"
         print(f"{flag} {n:9s} {args.mics}-mic TPU f32 vs f64 max dev: "
-              f"{dev:.3e}  finite: {bool(np.isfinite(y32).all())}")
+              f"{dev:.3e}  finite: {bool(np.isfinite(y32).all())}",
+              flush=True)
+        if args.full_fft:
+            # the audit layout on real TPU numerics: how far does the
+            # reference's literal complex-FFT layout sit from the shipped
+            # extended-rFFT path at f32?
+            yff = np.asarray(get_model(n, e32f, c, p).process(x, THETA))
+            dff = float(np.max(np.abs(yff - y32)))
+            worst_ff = max(worst_ff, dff)
+            print(f"     {n:9s} ext-rFFT vs full-FFT (TPU f32) max dev: "
+                  f"{dff:.3e}", flush=True)
     print(f"worst: {worst:.3e} (budget 1e-3)")
+    if args.full_fft:
+        print(f"worst ext-vs-full-FFT: {worst_ff:.3e}")
     return 0 if worst < 1e-3 else 1
 
 
