@@ -157,11 +157,11 @@ class LcmvModel(BatchableConstrainedModel):
 
     def _forward_sparse(self, x, u_theta, u_angles, u_active, u_row0, idx,
                         state):
-        """Gate-aware path: constraint solves only at gate-passing
-        (frame, bin) pairs (lcmv.cpp:108-138 inside the energy-gate branch);
-        see models/gated_sparse.py."""
+        """Gate-aware path: constraint solves run only on ACTIVE frames
+        (any gate-passing bin; lcmv.cpp:108-138 does no solve work inside
+        silent frames); see models/gated_sparse.py."""
         from beamform_tpu.models.gated_sparse import (
-            compact_gate, flatten_bins, gather_hist, run_gated)
+            compact_active_frames, gather_frame_windows, run_frame_gated)
         p = self.params
         carry, hist0 = state
         c_uniq = self._constraints_traced(u_theta, u_angles, u_active,
@@ -175,31 +175,33 @@ class LcmvModel(BatchableConstrainedModel):
                                              self.cdtype, carry.tail)
         mag = common.mag_mean_over_mics(x_spec, self.engine.fft_win)
         ib = jnp.asarray(self.ib)
-        nib = len(self.ib)
         x_ib = x_spec[:, :, ib]
         mag_ib = mag[:, ib]
         wr = white_r(m, self.rdtype).astype(self.cdtype)
         t = x_ib.shape[0]
-        s = c_uniq.shape[-1]
 
         x_ext = jnp.concatenate([hist0, x_ib], axis=0)
-        xe2 = flatten_bins(x_ext)
-        c2 = c_uniq.reshape(-1, m, s)                      # (U*Nib, M, S)
-        order, k_total = compact_gate(mag_ib > p.freq_mag_threshold)
+        order, k_act = compact_active_frames(mag_ib > p.freq_mag_threshold)
         y_base = x_ib[:, 0, :] * 0.01
+        idx_c = jnp.asarray(idx)
         hp = jax.lax.Precision.HIGHEST
 
-        def chunk_body(f, n_, valid):
-            h = gather_hist(xe2, f, n_, w_hist, nib)       # (W, C, M)
-            r = jnp.einsum("wcm,wck->cmk", h, jnp.conj(h),
-                           precision=hp) * wr[None, :, :]
-            cc = c2[idx[f] * nib + n_]                     # (C, M, S)
-            ia = inact[idx[f]]                             # (C, S)
+        def chunk_body(f):
+            hist, xc = gather_frame_windows(x_ext, f, w_hist)
+            fc = jnp.minimum(f, t - 1)
+            magc = mag_ib[fc]                              # (C, Nib)
+            o = jnp.einsum("cwmn,cwkn->cnmk", hist, jnp.conj(hist),
+                           precision=hp)
+            r = o * wr[None, None, :, :]
+            cc = c_uniq[idx_c[fc]]                         # (C, Nib, M, S)
+            ia = inact[idx_c[fc]][:, None, :]              # (C, 1, S)
             w0 = lcmv_solve(r, cc, ia, pallas_min_batch=1)
-            xc = xe2[(f + w_hist) * nib + n_]
-            return jnp.einsum("cm,cm->c", jnp.conj(w0), xc, precision=hp)
+            y_bf = jnp.einsum("cnm,cmn->cn", jnp.conj(w0), xc,
+                              precision=hp)
+            return jnp.where(magc > p.freq_mag_threshold, y_bf,
+                             xc[:, 0, :] * 0.01)
 
-        y_ib = run_gated(order, k_total, y_base, chunk_body)
+        y_ib = run_frame_gated(order, k_act, y_base, chunk_body)
         hist = x_ext[t:t + w_hist]
 
         y = jnp.zeros((x_spec.shape[0], x_spec.shape[2]), dtype=self.cdtype)

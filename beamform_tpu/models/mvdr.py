@@ -124,12 +124,13 @@ class MvdrModel(BatchableModel):
         return common.on_tpu_device() and self.cdtype == jnp.complex64
 
     def _forward_sparse(self, x, thetas, w_idx, state):
-        """Gate-aware path: solve ONLY the gate-passing (frame, bin) pairs,
-        like the reference's per-bin loop (mvdr.cpp:84-96) — see
-        models/gated_sparse.py. Output and carried state match the dense
-        path (same math, per-candidate accumulation order)."""
+        """Gate-aware path: covariance builds and solves run only on ACTIVE
+        frames (those with at least one gate-passing bin) — the reference's
+        per-bin loop does no solve work on silent frames (mvdr.cpp:84-96).
+        See models/gated_sparse.py. Output and carried state match the
+        dense path."""
         from beamform_tpu.models.gated_sparse import (
-            compact_gate, flatten_bins, gather_hist, run_gated)
+            compact_active_frames, gather_frame_windows, run_frame_gated)
         p = self.params
         m = self.geom.num_mics
         n = self.engine.fft_win
@@ -149,43 +150,52 @@ class MvdrModel(BatchableModel):
         t = x_ib.shape[0]
 
         x_ext = jnp.concatenate([hist0, x_ib], axis=0)     # (W+T, M, Nib)
-        xe2 = flatten_bins(x_ext)                          # ((W+T)*Nib, M)
-        d2 = jnp.moveaxis(d_ib, 1, 2).reshape(-1, m)       # (U*Nib, M)
-        order, k_total = compact_gate(mag_ib > p.freq_mag_threshold)
+        order, k_act = compact_active_frames(
+            mag_ib > p.freq_mag_threshold)
         y_base = x_ib[:, 0, :] * 0.01                      # mvdr.cpp:96
+        w_idx_c = jnp.asarray(w_idx)
 
         from beamform_tpu.models.common import on_tpu_device
         native = (on_tpu_device() and self.cdtype == jnp.complex64
                   and m <= 64)
         hp = jax.lax.Precision.HIGHEST
 
-        def chunk_body(f, n_, valid):
-            h = gather_hist(xe2, f, n_, w_hist, nib)       # (W, C, M)
-            d = d2[w_idx[f] * nib + n_]                    # (C, M)
-            xc = xe2[(f + w_hist) * nib + n_]              # (C, M)
+        def chunk_body(f):
+            hist, xc = gather_frame_windows(x_ext, f, w_hist)
+            fc = jnp.minimum(f, t - 1)
+            magc = mag_ib[fc]                              # (C, Nib)
+            d = d_ib[w_idx_c[fc]]                          # (C, M, Nib)
+            c = f.shape[0]
             if native:
-                r = jnp.einsum("wcm,wck->mkc", h, jnp.conj(h),
-                               precision=hp) * wr[:, :, None]
+                o = jnp.einsum("cwmn,cwkn->mkcn", hist, jnp.conj(hist),
+                               precision=hp)
+                rb = (o * wr[:, :, None, None]).reshape(m, m, c * nib)
                 from beamform_tpu.kernels.linalg import (
                     gj_inverse_pallas_native)
-                inv = gj_inverse_pallas_native(r, polish=False)
-                x0 = jnp.einsum("mkc,ck->cm", inv, d, precision=hp)
-                resid = d - jnp.einsum("mkc,ck->cm", r, x0, precision=hp)
-                num = x0 + jnp.einsum("mkc,ck->cm", inv, resid,
+                inv = gj_inverse_pallas_native(rb, polish=False)
+                dn = jnp.moveaxis(d, 1, -1).reshape(c * nib, m)
+                x0 = jnp.einsum("mkb,bk->bm", inv, dn, precision=hp)
+                resid = dn - jnp.einsum("mkb,bk->bm", rb, x0, precision=hp)
+                num = x0 + jnp.einsum("mkb,bk->bm", inv, resid,
                                       precision=hp)
+                den = jnp.einsum("bm,bm->b", jnp.conj(dn), num,
+                                 precision=hp)
+                w_opt = num / den[:, None]
+                xt = jnp.moveaxis(xc, 1, -1).reshape(c * nib, m)
+                y_bf = jnp.einsum("bm,bm->b", jnp.conj(w_opt), xt,
+                                  precision=hp).reshape(c, nib)
             else:
-                r = jnp.einsum("wcm,wck->cmk", h, jnp.conj(h),
-                               precision=hp) * wr[None, :, :]
-                inv = batched_inv(r, polish=False)
-                x0 = jnp.einsum("cmk,ck->cm", inv, d, precision=hp)
-                resid = d - jnp.einsum("cmk,ck->cm", r, x0, precision=hp)
-                num = x0 + jnp.einsum("cmk,ck->cm", inv, resid,
-                                      precision=hp)
-            den = jnp.einsum("cm,cm->c", jnp.conj(d), num, precision=hp)
-            w_opt = num / den[:, None]
-            return jnp.einsum("cm,cm->c", jnp.conj(w_opt), xc, precision=hp)
+                o = jnp.einsum("cwmn,cwkn->cnmk", hist, jnp.conj(hist),
+                               precision=hp)
+                r = o * wr[None, None, :, :]
+                dmv = jnp.moveaxis(d, 1, -1)               # (C, Nib, M)
+                w_opt = mvdr_solve(r, dmv)
+                y_bf = jnp.einsum("cnm,cmn->cn", jnp.conj(w_opt), xc,
+                                  precision=hp)
+            return jnp.where(magc > p.freq_mag_threshold, y_bf,
+                             xc[:, 0, :] * 0.01)
 
-        y_ib = run_gated(order, k_total, y_base, chunk_body)
+        y_ib = run_frame_gated(order, k_act, y_base, chunk_body)
         hist = x_ext[t:t + w_hist]
 
         y = jnp.zeros((x_spec.shape[0], x_spec.shape[2]),

@@ -75,8 +75,10 @@ def main():
     rng = np.random.default_rng(0)
 
     def randc(shape):
-        return (rng.standard_normal(shape).astype(np.float32),
-                rng.standard_normal(shape).astype(np.float32))
+        # device-resident: the tunnel ships host arrays at ~15-20 MB/s, so
+        # un-put inputs would make every stage measurement transfer-bound
+        return (jax.device_put(rng.standard_normal(shape).astype(np.float32)),
+                jax.device_put(rng.standard_normal(shape).astype(np.float32)))
 
     # stft of the whole chunk
     from beamform_tpu.models import common
