@@ -183,10 +183,12 @@ class MvdrParams:
     freq_max: float = 4000.0
     freq_min: float = 400.0
     out_amp: float = 4.5
-    # implementation strategy, not a reference param: "sparse" solves only
-    # gate-passing (frame, bin) pairs like the reference's per-bin loop
-    # (mvdr.cpp:84-96), "dense" solves every in-band bin, "auto" picks
-    # sparse on TPU float32 and dense elsewhere.
+    # implementation strategy, not a reference param: "auto" runs the
+    # fused streaming Pallas solve (kernels/mvdr_stream.py — per-frame
+    # sliding covariance + Cholesky in VMEM, silent frames skip the solve
+    # like the reference's gate, mvdr.cpp:84-96) on TPU float32 and the
+    # dense block pipeline elsewhere; "dense" forces the block pipeline;
+    # "stream"/"sparse" force the kernel (interpret mode off-TPU).
     solver: str = "auto"
 
 

@@ -1,0 +1,335 @@
+"""Fused WOLA analysis/synthesis Pallas kernels.
+
+The MXU-FFT module (kernels/mxu_fft.py) beats XLA's FFT lowering ~2x, but
+its stage-2 matmul contracts only N2 = nfft/128 elements — a [F*128, N2] @
+[N2, K2] matmul at ~1% MXU utilization that XLA materializes through HBM,
+plus separate framing / windowing / twiddle passes. These kernels fuse the
+whole WOLA boundary:
+
+analysis (``rfft_frames_pallas``):
+  windowed stride-layout frames -> stage-1 128-point DFT as ONE MXU dot
+  per frame block (k1 lands on lanes), twiddle, stage-2 N2-point DFT as
+  unrolled VPU constant-MACs in VMEM (zero/unit twiddles skipped), plus the
+  energy-gate magnitude (mean |X| / (M * nfft), mvdr.cpp:79-82) reduced
+  in-register — one HBM read of the frames, one write of the spectra.
+
+  The natural K2MAX*128-bin output is the full-DFT prefix, so the extended
+  layout's shadow bin (conj(X[h-1]) at h+1 — see models/common.py) is
+  already sitting at bin h+1: the caller just slices [:h+2].
+
+synthesis (``irfft_ola_pallas``):
+  Hermitian-expanded spectra -> stage-A N2-point inverse DFT (VPU
+  constant-MACs), twiddle, stage-B 128-point inverse DFT as one MXU dot,
+  synthesis window, and the 50% overlap-add with its one-hop carry held in
+  VMEM scratch across the sequential grid — the carry IS the WolaCarry
+  ``out_prev`` state (util.h:284-302 semantics).
+
+Both kernels keep time samples in the stride layout x[N2*n1 + n2] <->
+[n2 rows, n1 lanes]; the conversions are single XLA transposes outside the
+kernels (HBM-bandwidth cheap, and XLA fuses the window multiply into them).
+
+Same DFT constants as kernels/mxu_fft.py — agreement with jnp.fft is at f32
+round-off (~1e-6 relative); the float64 parity path (CPU, jnp.fft) is
+untouched.
+"""
+
+from __future__ import annotations
+
+import functools
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+FRAMES_PER_STEP = 8
+_HP = jax.lax.Precision.HIGHEST
+
+
+@lru_cache(maxsize=8)
+def _fwd_consts(nfft: int, m: int):
+    n2 = nfft // 128
+    k2max = (nfft // 2 + 1 + 127) // 128
+    k1 = np.arange(128)
+    w1 = np.exp(-2j * np.pi * np.outer(np.arange(128), k1) / 128.0)
+    tw = np.exp(-2j * np.pi * np.outer(np.arange(n2), k1) / nfft)
+    # rows n2*m + mic -> twiddle depends on n2 only
+    tw_rows = np.repeat(tw, m, axis=0)                    # (n2*m, 128)
+    w2 = np.exp(-2j * np.pi
+                * np.outer(np.arange(n2), np.arange(k2max)) / n2)
+    return (w1.real.astype(np.float32), w1.imag.astype(np.float32),
+            tw_rows.real.astype(np.float32), tw_rows.imag.astype(np.float32),
+            w2, n2, k2max)
+
+
+def _acc_term(acc_r, acc_i, gr, gi, wr: float, wi: float):
+    """acc += (gr + i gi) * (wr + i wi) with exact-constant folding."""
+    if wi == 0.0:
+        if wr == 1.0:
+            return acc_r + gr, acc_i + gi
+        if wr == -1.0:
+            return acc_r - gr, acc_i - gi
+        return acc_r + gr * wr, acc_i + gi * wr
+    if wr == 0.0:
+        if wi == 1.0:
+            return acc_r - gi, acc_i + gr
+        if wi == -1.0:
+            return acc_r + gi, acc_i - gr
+        return acc_r - gi * wi, acc_i + gr * wi
+    return (acc_r + (gr * wr - gi * wi), acc_i + (gr * wi + gi * wr))
+
+
+def _fwd_kernel(fw_ref, w1r_ref, w1i_ref, twr_ref, twi_ref,
+                sr_ref, si_ref, mag_ref,
+                *, m: int, n2: int, k2max: int, fb: int, nfft: int,
+                with_mag: bool):
+    minv = np.float32(1.0 / (m * nfft))
+    for f in range(fb):
+        q = fw_ref[f].reshape(n2 * m, 128)
+        f1r = jax.lax.dot(q, w1r_ref[:], precision=_HP,
+                          preferred_element_type=jnp.float32)
+        f1i = jax.lax.dot(q, w1i_ref[:], precision=_HP,
+                          preferred_element_type=jnp.float32)
+        gr = f1r * twr_ref[:] - f1i * twi_ref[:]
+        gi = f1r * twi_ref[:] + f1i * twr_ref[:]
+        for k2 in range(k2max):
+            acc_r = jnp.zeros((m, 128), jnp.float32)
+            acc_i = jnp.zeros((m, 128), jnp.float32)
+            for j in range(n2):
+                w = np.exp(-2j * np.pi * (j * k2) / n2)
+                wr = float(np.float32(w.real))
+                wi = float(np.float32(w.imag))
+                grn = gr[j * m:(j + 1) * m]
+                gin = gi[j * m:(j + 1) * m]
+                acc_r, acc_i = _acc_term(acc_r, acc_i, grn, gin, wr, wi)
+            sr_ref[f, :, k2 * 128:(k2 + 1) * 128] = acc_r
+            si_ref[f, :, k2 * 128:(k2 + 1) * 128] = acc_i
+            if with_mag:
+                amag = jnp.sqrt(acc_r * acc_r + acc_i * acc_i)
+                mag_ref[f, 0:1, k2 * 128:(k2 + 1) * 128] = (
+                    jnp.sum(amag, axis=0, keepdims=True) * minv)
+
+
+def rfft_frames_pallas(fw, m: int, nfft: int, with_mag: bool = True,
+                       interpret: bool = False,
+                       frames_per_step: int = FRAMES_PER_STEP):
+    """Forward DFT of windowed stride-layout frames.
+
+    fw: (T, N2, M, 128) float32, fw[t, n2, mic, n1] = (x*win)[mic, frame t,
+    sample N2*n1 + n2]. Returns (spec_r, spec_i (T, M, K2MAX*128), mag
+    (T, K2MAX*128) or None): full-DFT bins 0..K2MAX*128-1 — slice [:h+2]
+    for the extended-rFFT layout.
+    """
+    t = fw.shape[0]
+    fb = frames_per_step
+    tp = -(-t // fb) * fb
+    w1r, w1i, twr, twi, _, n2, k2max = _fwd_consts(nfft, m)
+    fw = jnp.pad(fw, ((0, tp - t), (0, 0), (0, 0), (0, 0)))
+    nbp = k2max * 128
+
+    kernel = functools.partial(_fwd_kernel, m=m, n2=n2, k2max=k2max, fb=fb,
+                               nfft=nfft, with_mag=with_mag)
+    const = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(tp // fb,),
+        in_specs=[
+            pl.BlockSpec((fb, n2, m, 128), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            const((128, 128)), const((128, 128)),
+            const((n2 * m, 128)), const((n2 * m, 128)),
+        ],
+        out_specs=[
+            pl.BlockSpec((fb, m, nbp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((fb, m, nbp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((fb, 1, nbp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((tp, m, nbp), jnp.float32),
+            jax.ShapeDtypeStruct((tp, m, nbp), jnp.float32),
+            jax.ShapeDtypeStruct((tp, 1, nbp), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024),
+        interpret=interpret,
+    )(jnp.asarray(fw), jnp.asarray(w1r), jnp.asarray(w1i),
+      jnp.asarray(twr), jnp.asarray(twi))
+    sr, si, mag = outs
+    return (sr[:t], si[:t], mag[:t, 0] if with_mag else None)
+
+
+def stft_planes(x, tail, window, engine, with_mag: bool = True,
+                interpret: bool = False):
+    """Streaming fused analysis: x (M, C*hop) + tail (M, hop) ->
+    (spec_r, spec_i (T, M, NBP), mag (T, NBP) | None, new_tail).
+
+    NBP = K2MAX*128 full-DFT bins; the extended layout is the [:h+2] prefix
+    (the shadow bin conj(X[h-1]) IS full-DFT bin h+1).
+    """
+    hop = engine.hop
+    nfft = engine.fft_win
+    m, s = x.shape
+    t = s // hop
+    n2 = nfft // 128
+    ext = jnp.concatenate([jnp.asarray(tail, x.dtype), x], axis=-1)
+    frames_flat = (
+        jnp.concatenate([ext[:, :-hop].reshape(m, t, hop),
+                         ext[:, hop:].reshape(m, t, hop)], axis=-1)
+        * jnp.asarray(window, x.dtype))
+    # stride layout: sample N2*n1 + n2 -> [n2 rows, n1 lanes]
+    fw = jnp.transpose(frames_flat.reshape(m, t, 128, n2), (1, 3, 0, 2))
+    sr, si, mag = rfft_frames_pallas(fw, m, nfft, with_mag=with_mag,
+                                     interpret=interpret)
+    return sr, si, mag, x[:, -hop:]
+
+
+# ---------------------------------------------------------------------------
+# synthesis
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=8)
+def _inv_consts(nfft: int):
+    n2 = nfft // 128
+    k1 = np.arange(128)
+    wa = np.exp(2j * np.pi * np.outer(np.arange(n2), np.arange(n2)) / n2)
+    tw = np.exp(2j * np.pi * np.outer(np.arange(n2), k1) / nfft)
+    wb = np.exp(2j * np.pi * np.outer(k1, np.arange(128)) / 128.0) / nfft
+    return (wa, tw.real.astype(np.float32), tw.imag.astype(np.float32),
+            wb.real.astype(np.float32), wb.imag.astype(np.float32), n2)
+
+
+def _inv_kernel(yr_ref, yi_ref, twr_ref, twi_ref, wbr_ref, wbi_ref,
+                win_ref, out_ref, prev_out_ref, prev_ref,
+                *, n2: int, nfft: int, fb: int, hop_lanes: int,
+                t_real: int):
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        prev_ref[:] = jnp.zeros(prev_ref.shape, jnp.float32)
+
+    for f in range(fb):
+        # stage A: Z[n2', k1] = sum_k2 Y[k2, k1] WA[k2, n2']
+        yr = yr_ref[f]                                      # (n2, 128)
+        yi = yi_ref[f]
+        zr_rows = []
+        zi_rows = []
+        for a in range(n2):
+            acc_r = jnp.zeros((1, 128), jnp.float32)
+            acc_i = jnp.zeros((1, 128), jnp.float32)
+            for c in range(n2):
+                w = np.exp(2j * np.pi * (a * c) / n2)
+                wr = float(np.float32(w.real))
+                wi = float(np.float32(w.imag))
+                acc_r, acc_i = _acc_term(acc_r, acc_i, yr[c:c + 1],
+                                         yi[c:c + 1], wr, wi)
+            zr_rows.append(acc_r)
+            zi_rows.append(acc_i)
+        zr = jnp.concatenate(zr_rows, axis=0)               # (n2, 128)
+        zi = jnp.concatenate(zi_rows, axis=0)
+        gr = zr * twr_ref[:] - zi * twi_ref[:]
+        gi = zr * twi_ref[:] + zi * twr_ref[:]
+        # stage B: x[N2*n1' + n2'] = Re sum_k1 G[n2', k1] WB[k1, n1']
+        xr = (jax.lax.dot(gr, wbr_ref[:], precision=_HP,
+                          preferred_element_type=jnp.float32)
+              - jax.lax.dot(gi, wbi_ref[:], precision=_HP,
+                            preferred_element_type=jnp.float32))
+        p = xr * win_ref[:]                                 # (n2, 128)
+        # 50% overlap-add in stride layout: first half = lanes < 64
+        out_ref[f] = p[:, :hop_lanes] + prev_ref[:]
+        prev_ref[:] = p[:, hop_lanes:]
+
+        # the carry OUT is frame t_real-1's second half, written before the
+        # zero-padded tail frames can clobber it
+        @pl.when(step * fb + f == t_real - 1)
+        def _():
+            prev_out_ref[:] = prev_ref[:]
+
+
+def irfft_ola_pallas(y_full_r, y_full_i, window, out_prev, nfft: int,
+                     interpret: bool = False,
+                     frames_per_step: int = FRAMES_PER_STEP):
+    """Inverse DFT + synthesis window + 50% overlap-add.
+
+    y_full_r/i: (T, N2, 128) Hermitian-expanded full spectra in the
+    [k2 rows, k1 lanes] layout. window: (nfft,). out_prev: (hop,) carry.
+    Returns (out (T*hop,), new_out_prev (hop,)).
+    """
+    t = y_full_r.shape[0]
+    fb = frames_per_step
+    tp = -(-t // fb) * fb
+    wa, twr, twi, wbr, wbi, n2 = _inv_consts(nfft)
+    hop = nfft // 2
+    pad = ((0, tp - t), (0, 0), (0, 0))
+    y_full_r = jnp.pad(y_full_r, pad)
+    y_full_i = jnp.pad(y_full_i, pad)
+    # stride-layout window and carry
+    win_s = jnp.asarray(window, jnp.float32).reshape(128, n2).T  # (n2, 128)
+    prev_s = jnp.asarray(out_prev, jnp.float32).reshape(64, n2).T
+
+    kernel = functools.partial(_inv_kernel, n2=n2, nfft=nfft, fb=fb,
+                               hop_lanes=64, t_real=t)
+    const = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    out, prev_out = pl.pallas_call(
+        kernel,
+        grid=(tp // fb,),
+        in_specs=[
+            pl.BlockSpec((fb, n2, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((fb, n2, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            const((n2, 128)), const((n2, 128)),
+            const((128, 128)), const((128, 128)),
+            const((n2, 128)),
+        ],
+        out_specs=[
+            pl.BlockSpec((fb, n2, 64), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n2, 64), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((tp, n2, 64), jnp.float32),
+            jax.ShapeDtypeStruct((n2, 64), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((n2, 64), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024),
+        interpret=interpret,
+    )(y_full_r, y_full_i, jnp.asarray(twr), jnp.asarray(twi),
+      jnp.asarray(wbr), jnp.asarray(wbi), jnp.asarray(win_s))
+    # ...but the initial carry must be folded in outside: frame 0's first
+    # half adds out_prev (the kernel starts from a zero carry)
+    out = out[:t]
+    out = out.at[0].add(prev_s)
+    # de-stride: [n2 rows, n1 lanes] -> samples N2*n1 + n2
+    stream = jnp.transpose(out, (0, 2, 1)).reshape(t * hop)
+    new_prev = jnp.transpose(prev_out, (1, 0)).reshape(hop)
+    return stream, new_prev
+
+
+def istft_ext_fused(y_ext, engine, window, out_prev,
+                    interpret: bool = False):
+    """Streaming fused synthesis from extended-layout spectra.
+
+    y_ext (T, NB) complex -> ((T*hop,), new out_prev). The Hermitian fold
+    (models/common.py fold_ext) and mirror expansion run in XLA (cheap,
+    single-stream); the inverse DFT + window + overlap-add run fused.
+    """
+    from beamform_tpu.models.common import fold_ext
+    nfft = engine.fft_win
+    h = nfft // 2
+    y_r = fold_ext(y_ext, nfft)                            # (T, h+1)
+    full = jnp.concatenate(
+        [y_r, jnp.conj(y_r[:, h - 1:0:-1])], axis=-1)      # (T, nfft)
+    yf = full.reshape(y_ext.shape[0], nfft // 128, 128)
+    return irfft_ola_pallas(yf.real, yf.imag, window, out_prev, nfft,
+                            interpret=interpret)

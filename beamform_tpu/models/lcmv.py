@@ -148,20 +148,25 @@ class LcmvModel(BatchableConstrainedModel):
                                      self.geom.num_mics, len(self.ib)),
                                     self.cdtype))
 
-    def _use_sparse(self) -> bool:
-        if self.params.solver == "sparse":
+    def _use_stream(self) -> bool:
+        """See MvdrModel._use_stream — same strategy selection for the
+        fused streaming constraint solve (kernels/lcmv_stream.py)."""
+        if self.params.solver in ("stream", "sparse"):
+            if self.cdtype != jnp.complex64:
+                raise ValueError("the stream solver is a float32 strategy; "
+                                 "use solver='dense' with float64")
             return True
         if self.params.solver == "dense":
             return False
         return common.on_tpu_device() and self.cdtype == jnp.complex64
 
-    def _forward_sparse(self, x, u_theta, u_angles, u_active, u_row0, idx,
+    def _forward_stream(self, x, u_theta, u_angles, u_active, u_row0, idx,
                         state):
-        """Gate-aware path: constraint solves run only on ACTIVE frames
-        (any gate-passing bin; lcmv.cpp:108-138 does no solve work inside
-        silent frames); see models/gated_sparse.py."""
-        from beamform_tpu.models.gated_sparse import (
-            compact_active_frames, gather_frame_windows, run_frame_gated)
+        """Fused-kernel path: sliding covariance + multi-RHS Cholesky +
+        constraint-space solve in one Pallas kernel marching the frames,
+        silent frames skipping the solve (lcmv.cpp:108-138 does no solve
+        work below the gate)."""
+        from beamform_tpu.kernels.lcmv_stream import lcmv_stream_pallas
         p = self.params
         carry, hist0 = state
         c_uniq = self._constraints_traced(u_theta, u_angles, u_active,
@@ -169,7 +174,6 @@ class LcmvModel(BatchableConstrainedModel):
         ones1 = jnp.ones((u_active.shape[0], 1), dtype=self.rdtype)
         inact = 1.0 - jnp.concatenate(
             [ones1, jnp.asarray(u_active, dtype=self.rdtype)], axis=1)
-        m = self.geom.num_mics
         w_hist = p.past_windows
         x_spec, tail = common.stft_ext_carry(x, self.engine, self.window,
                                              self.cdtype, carry.tail)
@@ -177,31 +181,17 @@ class LcmvModel(BatchableConstrainedModel):
         ib = jnp.asarray(self.ib)
         x_ib = x_spec[:, :, ib]
         mag_ib = mag[:, ib]
-        wr = white_r(m, self.rdtype).astype(self.cdtype)
         t = x_ib.shape[0]
 
+        gate = mag_ib > p.freq_mag_threshold
+        act = jnp.any(gate, axis=1)
         x_ext = jnp.concatenate([hist0, x_ib], axis=0)
-        order, k_act = compact_active_frames(mag_ib > p.freq_mag_threshold)
-        y_base = x_ib[:, 0, :] * 0.01
-        idx_c = jnp.asarray(idx)
-        hp = jax.lax.Precision.HIGHEST
-
-        def chunk_body(f):
-            hist, xc = gather_frame_windows(x_ext, f, w_hist)
-            fc = jnp.minimum(f, t - 1)
-            magc = mag_ib[fc]                              # (C, Nib)
-            o = jnp.einsum("cwmn,cwkn->cnmk", hist, jnp.conj(hist),
-                           precision=hp)
-            r = o * wr[None, None, :, :]
-            cc = c_uniq[idx_c[fc]]                         # (C, Nib, M, S)
-            ia = inact[idx_c[fc]][:, None, :]              # (C, 1, S)
-            w0 = lcmv_solve(r, cc, ia, pallas_min_batch=1)
-            y_bf = jnp.einsum("cnm,cmn->cn", jnp.conj(w0), xc,
-                              precision=hp)
-            return jnp.where(magc > p.freq_mag_threshold, y_bf,
-                             xc[:, 0, :] * 0.01)
-
-        y_ib = run_frame_gated(order, k_act, y_base, chunk_body)
+        # kernel layout: constraints as (U, S, M, Nib)
+        c_k = jnp.moveaxis(c_uniq, (1, 2, 3), (3, 2, 1))
+        y_k = lcmv_stream_pallas(x_ext, c_k, inact, jnp.asarray(idx), act,
+                                 w_hist=w_hist,
+                                 interpret=not common.on_tpu_device())
+        y_ib = jnp.where(gate, y_k, x_ib[:, 0, :] * 0.01)
         hist = x_ext[t:t + w_hist]
 
         y = jnp.zeros((x_spec.shape[0], x_spec.shape[2]), dtype=self.cdtype)
@@ -212,8 +202,8 @@ class LcmvModel(BatchableConstrainedModel):
         return out * p.out_amp, (common.WolaCarry(tail, prev), hist)
 
     def _forward(self, x, u_theta, u_angles, u_active, u_row0, idx, state):
-        if self._use_sparse():
-            return self._forward_sparse(x, u_theta, u_angles, u_active,
+        if self._use_stream():
+            return self._forward_stream(x, u_theta, u_angles, u_active,
                                         u_row0, idx, state)
         p = self.params
         carry, hist0 = state

@@ -116,23 +116,30 @@ class MvdrModel(BatchableModel):
         cb = max(8, min(128, int(budget) - w, t))
         return cb
 
-    def _use_sparse(self) -> bool:
-        if self.params.solver == "sparse":
+    def _use_stream(self) -> bool:
+        """The fused streaming Pallas solve (kernels/mvdr_stream.py) is the
+        TPU float32 production path; ``solver`` picks the strategy:
+        "auto" = stream on TPU float32, dense elsewhere; "dense" forces the
+        block-scan pipeline; "stream"/"sparse" force the kernel (in
+        interpret mode off-TPU — the test hook)."""
+        if self.params.solver in ("stream", "sparse"):
+            if self.cdtype != jnp.complex64:
+                raise ValueError("the stream solver is a float32 strategy; "
+                                 "use solver='dense' with float64")
             return True
         if self.params.solver == "dense":
             return False
         return common.on_tpu_device() and self.cdtype == jnp.complex64
 
-    def _forward_sparse(self, x, thetas, w_idx, state):
-        """Gate-aware path: covariance builds and solves run only on ACTIVE
-        frames (those with at least one gate-passing bin) — the reference's
-        per-bin loop does no solve work on silent frames (mvdr.cpp:84-96).
-        See models/gated_sparse.py. Output and carried state match the
-        dense path."""
-        from beamform_tpu.models.gated_sparse import (
-            compact_active_frames, gather_frame_windows, run_frame_gated)
+    def _forward_stream(self, x, thetas, w_idx, state):
+        """Fused-kernel path: the per-frame sliding covariance, Cholesky
+        solve and beamform application all run inside one Pallas kernel
+        marching the frame axis, with silent frames (no gate-passing bin)
+        skipping the solve entirely — the reference's own gate sparsity
+        (mvdr.cpp:84-96) at frame granularity. Output and carried state
+        match the dense path to f32 round-off."""
+        from beamform_tpu.kernels.mvdr_stream import mvdr_stream_pallas
         p = self.params
-        m = self.geom.num_mics
         n = self.engine.fft_win
         w_hist = p.past_windows
         carry, hist0 = state
@@ -142,60 +149,18 @@ class MvdrModel(BatchableModel):
                                            self.rdtype, self.cdtype)
         mag = common.mag_mean_over_mics(x_spec, n)
         ib = jnp.asarray(self.ib)
-        nib = len(self.ib)
         x_ib = x_spec[:, :, ib]                            # (T, M, Nib)
         mag_ib = mag[:, ib]
         d_ib = w_uniq[:, :, ib]                            # (U, M, Nib)
-        wr = white_r(m, self.rdtype).astype(self.cdtype)
         t = x_ib.shape[0]
 
+        gate = mag_ib > p.freq_mag_threshold               # (T, Nib)
+        act = jnp.any(gate, axis=1)
         x_ext = jnp.concatenate([hist0, x_ib], axis=0)     # (W+T, M, Nib)
-        order, k_act = compact_active_frames(
-            mag_ib > p.freq_mag_threshold)
-        y_base = x_ib[:, 0, :] * 0.01                      # mvdr.cpp:96
-        w_idx_c = jnp.asarray(w_idx)
-
-        from beamform_tpu.models.common import on_tpu_device
-        native = (on_tpu_device() and self.cdtype == jnp.complex64
-                  and m <= 64)
-        hp = jax.lax.Precision.HIGHEST
-
-        def chunk_body(f):
-            hist, xc = gather_frame_windows(x_ext, f, w_hist)
-            fc = jnp.minimum(f, t - 1)
-            magc = mag_ib[fc]                              # (C, Nib)
-            d = d_ib[w_idx_c[fc]]                          # (C, M, Nib)
-            c = f.shape[0]
-            if native:
-                o = jnp.einsum("cwmn,cwkn->mkcn", hist, jnp.conj(hist),
-                               precision=hp)
-                rb = (o * wr[:, :, None, None]).reshape(m, m, c * nib)
-                from beamform_tpu.kernels.linalg import (
-                    gj_inverse_pallas_native)
-                inv = gj_inverse_pallas_native(rb, polish=False)
-                dn = jnp.moveaxis(d, 1, -1).reshape(c * nib, m)
-                x0 = jnp.einsum("mkb,bk->bm", inv, dn, precision=hp)
-                resid = dn - jnp.einsum("mkb,bk->bm", rb, x0, precision=hp)
-                num = x0 + jnp.einsum("mkb,bk->bm", inv, resid,
-                                      precision=hp)
-                den = jnp.einsum("bm,bm->b", jnp.conj(dn), num,
-                                 precision=hp)
-                w_opt = num / den[:, None]
-                xt = jnp.moveaxis(xc, 1, -1).reshape(c * nib, m)
-                y_bf = jnp.einsum("bm,bm->b", jnp.conj(w_opt), xt,
-                                  precision=hp).reshape(c, nib)
-            else:
-                o = jnp.einsum("cwmn,cwkn->cnmk", hist, jnp.conj(hist),
-                               precision=hp)
-                r = o * wr[None, None, :, :]
-                dmv = jnp.moveaxis(d, 1, -1)               # (C, Nib, M)
-                w_opt = mvdr_solve(r, dmv)
-                y_bf = jnp.einsum("cnm,cmn->cn", jnp.conj(w_opt), xc,
-                                  precision=hp)
-            return jnp.where(magc > p.freq_mag_threshold, y_bf,
-                             xc[:, 0, :] * 0.01)
-
-        y_ib = run_frame_gated(order, k_act, y_base, chunk_body)
+        y_k = mvdr_stream_pallas(x_ext, d_ib, jnp.asarray(w_idx), act,
+                                 w_hist=w_hist,
+                                 interpret=not common.on_tpu_device())
+        y_ib = jnp.where(gate, y_k, x_ib[:, 0, :] * 0.01)  # mvdr.cpp:96
         hist = x_ext[t:t + w_hist]
 
         y = jnp.zeros((x_spec.shape[0], x_spec.shape[2]),
@@ -207,8 +172,8 @@ class MvdrModel(BatchableModel):
         return out * p.out_amp, (common.WolaCarry(tail, prev), hist)
 
     def _forward(self, x, thetas, w_idx, state):
-        if self._use_sparse():
-            return self._forward_sparse(x, thetas, w_idx, state)
+        if self._use_stream():
+            return self._forward_stream(x, thetas, w_idx, state)
         p = self.params
         m = self.geom.num_mics
         n = self.engine.fft_win

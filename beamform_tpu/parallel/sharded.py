@@ -159,10 +159,10 @@ def sharded_batched_step(mesh: Mesh, model, x_batch, thetas, state):
     x_batch (B, M, S); thetas scalar | (B,) | (B, T). Returns
     (out (B, S), new_state) with the same shardings as the inputs.
     """
-    if hasattr(model, "_use_sparse") and model._use_sparse():
+    if hasattr(model, "_use_stream") and model._use_stream():
         raise ValueError(
-            "sharded execution needs solver='dense' (the gate-sparse "
-            "path's global compaction is a single-device optimization)")
+            "sharded execution needs solver='dense' (the fused streaming "
+            "Pallas solve is a single-device kernel)")
     rdtype = model.rdtype
     x = jnp.asarray(x_batch, dtype=rdtype)
     b = x.shape[0]
