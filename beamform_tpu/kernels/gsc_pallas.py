@@ -27,6 +27,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -47,15 +48,17 @@ def _kernel(in_ref, blk_in, flt_in, lo_in,
         flt[:] = flt_in[:]
         lo[:] = lo_in[:]
 
-    kinv = 1.0 / k
+    kinv = np.float32(1.0 / k)
+    c_b = np.float32(params.mu0 * params.mu0 / k)
+    c_o = np.float32(params.mu_max * params.mu_max / k)
+    mu0 = np.float32(params.mu0)
     lane_b = jax.lax.broadcasted_iota(jnp.int32, (batch, m - 1, k), 2)
     lane_o = jax.lax.broadcasted_iota(jnp.int32, (batch, 1, k), 2)
 
     def sample_step(j, carry):
-        cur, bsq, osq = carry                     # running sums of squares
-        a = cur[:, :, 0:1]                        # (B, M, 1) this sample
-        das = jnp.sum(a, axis=1, keepdims=True) / m       # (B, 1, 1)
-        u_new = a[:, 1:, :] - a[:, :-1, :]                # (B, M-1, 1)
+        u_rot, d_rot, bsq, osq = carry            # running sums of squares
+        u_new = u_rot[:, :, 0:1]                  # (B, M-1, 1) this sample
+        das = d_rot[:, :, 0:1]                    # (B, 1, 1)
 
         # shift registers: left-shift by one == roll right by K-1
         # (pltpu.roll requires non-negative shifts); newest in last column
@@ -73,29 +76,32 @@ def _kernel(in_ref, blk_in, flt_in, lo_in,
                           pltpu.roll(lo[:], k - 1, 2))
         osq = osq + out * out - o_old * o_old
 
-        last_pow = jnp.sqrt(jnp.maximum(osq, 0.0) * kinv)        # (B,1,1)
-        block_pow = jnp.sqrt(jnp.maximum(bsq, 0.0) * kinv)       # (B,M-1,1)
-
-        ratio = params.mu0 * block_pow / last_pow
-        mu = jnp.where(ratio < params.mu_max, params.mu0 / last_pow,
-                       params.mu0 / block_pow)
-        mu = jnp.where(jnp.isnan(mu) | jnp.isinf(mu), 0.0, mu)
+        # squared-domain dynamic-mu gate + one rsqrt (same arithmetic as
+        # the lax.scan formulation in models/gsc.py — see its note)
+        cond = (c_b * bsq) < (c_o * osq)
+        den = jnp.where(cond, osq, bsq) * kinv
+        mu_raw = mu0 * jax.lax.rsqrt(jnp.maximum(den, 0.0))
+        mu = jnp.where(mu_raw < jnp.inf, mu_raw, 0.0)
 
         flt_new = flt[:] + mu * out * b
         flt_new = jnp.where(jnp.isnan(flt_new), 0.0, flt_new)
         if params.use_vad:
+            last_pow = jnp.sqrt(jnp.maximum(osq, 0.0) * kinv)
             flt_new = jnp.where(last_pow < params.vad_threshold, flt_new,
                                 flt[:])
         flt[:] = flt_new
-        return (pltpu.roll(cur, 127, 2),          # next sample to column 0
+        return (pltpu.roll(u_rot, 127, 2),        # next sample to column 0
+                pltpu.roll(d_rot, 127, 2),
                 bsq, osq)
 
     bsq = jnp.sum(blk[:] ** 2, axis=2, keepdims=True)
     osq = jnp.sum(lo[:] ** 2, axis=2, keepdims=True)
     for sub in range(chunk // 128):               # static subtile loop
         tile = in_ref[:, :, sub * 128:(sub + 1) * 128]   # (B, M, 128)
-        _, bsq, osq = jax.lax.fori_loop(0, 128, sample_step,
-                                        (tile, bsq, osq))
+        u_tile = tile[:, 1:, :] - tile[:, :-1, :]        # per-subtile diffs
+        d_tile = jnp.sum(tile, axis=1, keepdims=True) * np.float32(1.0 / m)
+        _, _, bsq, osq = jax.lax.fori_loop(0, 128, sample_step,
+                                           (u_tile, d_tile, bsq, osq))
         # the newest 128 entries of the last-outputs register ARE the next
         # output row for every stream (ascending order)
         out_ref[:, sub, :] = lo[:, 0, k - 128:k]

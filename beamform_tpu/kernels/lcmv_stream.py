@@ -208,13 +208,26 @@ def lcmv_stream_pallas(x_ext, c_uniq, inact, idx, act, w_hist: int,
     Returns y (T, NIB) complex (zeros on silent frames).
     """
     del inact
-    wt, m, nib = x_ext.shape
+    yr, yi = lcmv_stream_planes_pallas(
+        x_ext.real, x_ext.imag, c_uniq.real, c_uniq.imag, idx, act,
+        w_hist=w_hist, refine=refine, interpret=interpret,
+        frames_per_step=frames_per_step, exact_epochs=exact_epochs)
+    return jax.lax.complex(yr, yi)
+
+
+def lcmv_stream_planes_pallas(xr_ext, xi_ext, cr_uniq, ci_uniq, idx, act,
+                              w_hist: int, refine: bool = True,
+                              interpret: bool = False,
+                              frames_per_step: int = FRAMES_PER_STEP,
+                              exact_epochs: bool = True):
+    """Split re/im plane variant (see mvdr_stream_planes_pallas)."""
+    wt, m, nib = xr_ext.shape
     t = wt - w_hist
     fb = frames_per_step
     tw = w_hist + t
     tp = -(-tw // fb) * fb
     nibp = -(-nib // 128) * 128
-    u, s_cap = c_uniq.shape[:2]
+    u, s_cap = cr_uniq.shape[:2]
     per_frame_c = u > 1
 
     def pad3(a, n0):
@@ -224,23 +237,23 @@ def lcmv_stream_pallas(x_ext, c_uniq, inact, idx, act, w_hist: int,
         return jnp.pad(a, ((0, n0 - a.shape[0]), (0, 0), (0, 0),
                            (0, nibp - nib)))
 
-    x_old = jnp.concatenate(
-        [jnp.zeros((w_hist,) + x_ext.shape[1:], x_ext.dtype),
-         x_ext[:t]], axis=0)
-    xc_r, xc_i = pad3(x_ext.real, tp), pad3(x_ext.imag, tp)
-    xo_r, xo_i = pad3(x_old.real, tp), pad3(x_old.imag, tp)
+    zeros_w = jnp.zeros((w_hist,) + xr_ext.shape[1:], xr_ext.dtype)
+    xc_r, xc_i = pad3(xr_ext, tp), pad3(xi_ext, tp)
+    xo_r = pad3(jnp.concatenate([zeros_w, xr_ext[:t]], axis=0), tp)
+    xo_i = pad3(jnp.concatenate([zeros_w, xi_ext[:t]], axis=0), tp)
     act = jnp.concatenate([jnp.zeros((w_hist,), jnp.int32),
                            act.astype(jnp.int32)])
     act = jnp.pad(act, (0, tp - tw))
     if per_frame_c:
-        c_t = c_uniq[idx]                              # (T, S, M, NIB)
-        c_t = jnp.concatenate(
-            [jnp.zeros((w_hist,) + c_t.shape[1:], c_t.dtype), c_t], axis=0)
-        c_r, c_i = pad4(c_t.real, tp), pad4(c_t.imag, tp)
+        c_tr = cr_uniq[idx]                            # (T, S, M, NIB)
+        c_ti = ci_uniq[idx]
+        zw = jnp.zeros((w_hist,) + c_tr.shape[1:], c_tr.dtype)
+        c_r = pad4(jnp.concatenate([zw, c_tr], axis=0), tp)
+        c_i = pad4(jnp.concatenate([zw, c_ti], axis=0), tp)
         c_spec = pl.BlockSpec((fb, s_cap, m, nibp), lambda i, a: (i, 0, 0, 0),
                               memory_space=pltpu.VMEM)
     else:
-        c_r, c_i = pad4(c_uniq.real, 1), pad4(c_uniq.imag, 1)
+        c_r, c_i = pad4(cr_uniq, 1), pad4(ci_uniq, 1)
         c_spec = pl.BlockSpec((1, s_cap, m, nibp), lambda i, a: (0, 0, 0, 0),
                               memory_space=pltpu.VMEM)
 
@@ -272,4 +285,4 @@ def lcmv_stream_pallas(x_ext, c_uniq, inact, idx, act, w_hist: int,
             vmem_limit_bytes=24 * 1024 * 1024),
         interpret=interpret,
     )(act, xc_r, xc_i, xo_r, xo_i, c_r, c_i)
-    return jax.lax.complex(yr[w_hist:tw, 0, :nib], yi[w_hist:tw, 0, :nib])
+    return yr[w_hist:tw, 0, :nib], yi[w_hist:tw, 0, :nib]

@@ -271,7 +271,22 @@ def mvdr_stream_pallas(x_ext, d_uniq, w_idx, act, w_hist: int,
     Returns y (T, NIB) complex: beamformed spectra on active frames, zeros
     on silent frames (callers overlay the 0.01 passthrough per bin).
     """
-    wt, m, nib = x_ext.shape
+    yr, yi = mvdr_stream_planes_pallas(
+        x_ext.real, x_ext.imag, d_uniq.real, d_uniq.imag, w_idx, act,
+        w_hist=w_hist, refine=refine, interpret=interpret,
+        frames_per_step=frames_per_step, exact_epochs=exact_epochs)
+    return jax.lax.complex(yr, yi)
+
+
+def mvdr_stream_planes_pallas(xr_ext, xi_ext, dr_uniq, di_uniq, w_idx, act,
+                              w_hist: int, refine: bool = True,
+                              interpret: bool = False,
+                              frames_per_step: int = FRAMES_PER_STEP,
+                              exact_epochs: bool = True):
+    """Split re/im plane variant — producers that already hold f32 planes
+    (the fused WOLA analysis kernel) skip the complex materialization.
+    Returns (y_r, y_i) (T, NIB) f32 planes."""
+    wt, m, nib = xr_ext.shape
     t = wt - w_hist
     fb = frames_per_step
     # warm-up frames first: the current-stream index w of warm-up frame w
@@ -280,30 +295,30 @@ def mvdr_stream_pallas(x_ext, d_uniq, w_idx, act, w_hist: int,
     tw = w_hist + t
     tp = -(-tw // fb) * fb
     nibp = -(-nib // 128) * 128
-    u = d_uniq.shape[0]
+    u = dr_uniq.shape[0]
     per_frame_d = u > 1
 
     def pad3(a, n0):
         return jnp.pad(a, ((0, n0 - a.shape[0]), (0, 0),
                            (0, nibp - nib)))
 
-    x_old = jnp.concatenate(
-        [jnp.zeros((w_hist,) + x_ext.shape[1:], x_ext.dtype),
-         x_ext[:t]], axis=0)
-    xc_r, xc_i = pad3(x_ext.real, tp), pad3(x_ext.imag, tp)
-    xo_r, xo_i = pad3(x_old.real, tp), pad3(x_old.imag, tp)
+    zeros_w = jnp.zeros((w_hist,) + xr_ext.shape[1:], xr_ext.dtype)
+    xc_r, xc_i = pad3(xr_ext, tp), pad3(xi_ext, tp)
+    xo_r = pad3(jnp.concatenate([zeros_w, xr_ext[:t]], axis=0), tp)
+    xo_i = pad3(jnp.concatenate([zeros_w, xi_ext[:t]], axis=0), tp)
     act = jnp.concatenate([jnp.zeros((w_hist,), jnp.int32),
                            act.astype(jnp.int32)])
     act = jnp.pad(act, (0, tp - tw))
     if per_frame_d:
-        d_t = d_uniq[w_idx]                                  # (T, M, NIB)
-        d_t = jnp.concatenate(
-            [jnp.zeros((w_hist,) + d_t.shape[1:], d_t.dtype), d_t], axis=0)
-        d_r, d_i = pad3(d_t.real, tp), pad3(d_t.imag, tp)
+        d_tr = dr_uniq[w_idx]                                # (T, M, NIB)
+        d_ti = di_uniq[w_idx]
+        zw = jnp.zeros((w_hist,) + d_tr.shape[1:], d_tr.dtype)
+        d_r = pad3(jnp.concatenate([zw, d_tr], axis=0), tp)
+        d_i = pad3(jnp.concatenate([zw, d_ti], axis=0), tp)
         d_spec = pl.BlockSpec((fb, m, nibp), lambda i, a: (i, 0, 0),
                               memory_space=pltpu.VMEM)
     else:
-        d_r, d_i = pad3(d_uniq.real, 1), pad3(d_uniq.imag, 1)
+        d_r, d_i = pad3(dr_uniq, 1), pad3(di_uniq, 1)
         d_spec = pl.BlockSpec((1, m, nibp), lambda i, a: (0, 0, 0),
                               memory_space=pltpu.VMEM)
 
@@ -334,4 +349,4 @@ def mvdr_stream_pallas(x_ext, d_uniq, w_idx, act, w_hist: int,
             vmem_limit_bytes=24 * 1024 * 1024),
         interpret=interpret,
     )(act, xc_r, xc_i, xo_r, xo_i, d_r, d_i)
-    return jax.lax.complex(yr[w_hist:tw, 0, :nib], yi[w_hist:tw, 0, :nib])
+    return yr[w_hist:tw, 0, :nib], yi[w_hist:tw, 0, :nib]

@@ -30,6 +30,35 @@ class BatchableModel:
     #: vmap in_axes for the _forward args between x and state.
     batch_axes = (None, 0)          # (unique thetas shared, w_idx per stream)
 
+    def _cached(self, key, builder):
+        """Small per-model memo for device-resident control arrays.
+
+        Every host->device transfer through the TPU tunnel costs ~2-3 ms of
+        latency; re-shipping identical per-chunk control arrays (theta
+        indices, steering uniques, state zeros) every call dominated the
+        serving path for the fast models. JAX arrays are immutable, so
+        reusing them across calls is safe."""
+        cache = self.__dict__.setdefault("_ctrl_cache", {})
+        if key not in cache:
+            if len(cache) >= 16:
+                cache.clear()
+            cache[key] = builder()
+        return cache[key]
+
+    def _theta_ctrl(self, theta, t: int):
+        """Device-resident (unique thetas, per-frame index) for a chunk."""
+        import jax
+        from beamform_tpu.models import common
+        key = ("th", np.asarray(theta, np.float64).tobytes(), t)
+
+        def build():
+            th = common.theta_per_frame(theta, t)
+            uniq, w_idx = common.unique_thetas(th)
+            return (jax.device_put(uniq.astype(self.np_r)),
+                    jax.device_put(w_idx))
+
+        return self._cached(key, build)
+
     def batch_controls(self, thetas_bt, interference=None):
         """(B, T) per-stream theta timelines -> _forward control args."""
         if interference is not None:

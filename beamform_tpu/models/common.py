@@ -95,6 +95,13 @@ def use_mxu_fft(engine: EngineConfig) -> bool:
     return on_tpu_device()
 
 
+def use_wola_kernels(engine: EngineConfig) -> bool:
+    """Fused Pallas WOLA analysis/synthesis (kernels/wola_pallas.py): one
+    kernel instead of framing + windowing + two-stage FFT materializing
+    intermediates through HBM. TPU float32, standard layouts only."""
+    return use_mxu_fft(engine) and not getattr(engine, "full_fft", False)
+
+
 def _rfft(frames, engine: EngineConfig):
     if use_mxu_fft(engine):
         from beamform_tpu.kernels.mxu_fft import rfft_mxu
@@ -181,15 +188,28 @@ def istft_ext(y_ext, engine: EngineConfig, window):
 
 
 
+_ZEROS_MEMO = {}
+
+
 def device_zeros(shape, dtype):
-    """Zeros materialized BY a compiled program, not transferred.
+    """Zeros materialized BY a compiled program, not transferred — and
+    memoized (JAX arrays are immutable, and each dispatch through the TPU
+    tunnel costs milliseconds of latency).
 
     Eager ``jnp.zeros`` of a complex dtype is shipped as a host constant,
     and tunneled TPU backends cannot transfer complex buffers — worse, the
     failed transfer poisons the device context for every later op. Routing
     through jit makes the device itself produce the buffer.
     """
-    return jax.jit(jnp.zeros, static_argnums=(0, 1))(tuple(shape), dtype)
+    key = (tuple(shape), jnp.dtype(dtype).str,
+           str(jax.config.jax_default_device))
+    out = _ZEROS_MEMO.get(key)
+    if out is None:
+        out = jax.jit(jnp.zeros, static_argnums=(0, 1))(tuple(shape), dtype)
+        if len(_ZEROS_MEMO) > 64:
+            _ZEROS_MEMO.clear()
+        _ZEROS_MEMO[key] = out
+    return out
 
 
 class WolaCarry(NamedTuple):
@@ -201,13 +221,19 @@ def wola_carry_init(engine: EngineConfig, num_mics: int, rdtype,
                     per_mic_out: bool = False) -> WolaCarry:
     h = engine.hop
     out_shape = (num_mics, h) if per_mic_out else (h,)
-    return WolaCarry(jnp.zeros((num_mics, h), dtype=rdtype),
-                     jnp.zeros(out_shape, dtype=rdtype))
+    return WolaCarry(device_zeros((num_mics, h), rdtype),
+                     device_zeros(out_shape, rdtype))
 
 
 def stft_ext_carry(x, engine: EngineConfig, window, cdtype, tail):
     """Streaming stft_ext: (M, C*hop) + tail (M, hop) ->
     ((T, M, NB) spectra, new_tail)."""
+    if use_wola_kernels(engine) and cdtype == jnp.complex64:
+        from beamform_tpu.kernels.wola_pallas import stft_planes
+        sr, si, _, new_tail = stft_planes(x, tail, window, engine,
+                                          with_mag=False)
+        nb = engine.fft_win // 2 + 2
+        return jax.lax.complex(sr[..., :nb], si[..., :nb]), new_tail
     from beamform_tpu.dsp.wola import frame_signal_carry
     frames, new_tail = frame_signal_carry(x, engine.hop, tail)
     frames = frames * jnp.asarray(window, dtype=x.dtype)
@@ -228,6 +254,9 @@ def stft_ext_carry_mt(x, engine: EngineConfig, window, cdtype, tail):
 def istft_ext_carry(y_ext, engine: EngineConfig, window, out_prev):
     """Streaming istft_ext: (T, NB) + out_prev (hop,) ->
     ((T*hop,) stream, new_out_prev)."""
+    if use_wola_kernels(engine) and y_ext.dtype == jnp.complex64:
+        from beamform_tpu.kernels.wola_pallas import istft_ext_fused
+        return istft_ext_fused(y_ext, engine, window, out_prev)
     from beamform_tpu.dsp.wola import overlap_add_carry
     p = synth_frames_ext(y_ext, engine)
     win = jnp.asarray(window, dtype=p.dtype)

@@ -51,15 +51,23 @@ class DasModel(BatchableModel):
                                       self.rdtype)
 
     def _forward(self, x, thetas, w_idx, carry: common.WolaCarry):
-        # (M, T, NB) layout straight from the rFFT: das contracts over mics
-        # without transposing the spectra
-        spec_mt, tail = common.stft_ext_carry_mt(
-            x, self.engine, self.window, self.cdtype, carry.tail)
         w_uniq = common.weights_for_thetas(self.geom, self.freqs, thetas,
                                            self.rdtype, self.cdtype)
-        m = spec_mt.shape[0]
-        w = w_uniq[w_idx]                                 # (T, M, NB)
-        y = jnp.einsum("tmn,mtn->tn", jnp.conj(w), spec_mt) / m
+        if common.use_wola_kernels(self.engine):
+            # the fused WOLA kernel emits (T, M, NB) natively
+            spec, tail = common.stft_ext_carry(
+                x, self.engine, self.window, self.cdtype, carry.tail)
+            m = spec.shape[1]
+            w = w_uniq[w_idx]                             # (T, M, NB)
+            y = jnp.einsum("tmn,tmn->tn", jnp.conj(w), spec) / m
+        else:
+            # (M, T, NB) layout straight from the rFFT: contract over mics
+            # without transposing the spectra
+            spec_mt, tail = common.stft_ext_carry_mt(
+                x, self.engine, self.window, self.cdtype, carry.tail)
+            m = spec_mt.shape[0]
+            w = w_uniq[w_idx]
+            y = jnp.einsum("tmn,mtn->tn", jnp.conj(w), spec_mt) / m
         out, prev = common.istft_ext_carry(y, self.engine, self.window,
                                            carry.out_prev)
         return out, common.WolaCarry(tail, prev)
@@ -68,9 +76,8 @@ class DasModel(BatchableModel):
         """Streaming step: (M, C*hop) in, ((C*hop,) out, new state)."""
         x = jnp.asarray(x_chunk, dtype=self.rdtype)
         t = x.shape[-1] // self.engine.hop
-        th = common.theta_per_frame(theta, t)
-        uniq, w_idx = common.unique_thetas(th)
-        return self._jit(x, uniq.astype(self.np_r), w_idx, state)
+        uniq, w_idx = self._theta_ctrl(theta, t)
+        return self._jit(x, uniq, w_idx, state)
 
     def process(self, x, theta=0.0):
         """x: (M, S) -> (S',) with S' = S rounded up to a hop multiple."""

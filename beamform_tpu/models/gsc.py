@@ -57,6 +57,7 @@ def gsc_sample_step(state: GscState, a_t, p: GscParams,
     With ``with_mu``, also emits (mu for the first blocking channel,
     update-ran flag) — the reference's mu trace (gsc.cpp:171-174)."""
     k = state.block.shape[-1]
+    kinv = 1.0 / k
     das = jnp.mean(a_t)
     u_new = a_t[1:] - a_t[:-1]                          # blocking matrix
     block = jnp.concatenate([state.block[:, 1:], u_new[:, None]], axis=1)
@@ -64,17 +65,23 @@ def gsc_sample_step(state: GscState, a_t, p: GscParams,
     out = das - jnp.sum(block_out)
 
     last_out = jnp.concatenate([state.last_out[1:], out[None]])
-    last_pow = jnp.sqrt(jnp.mean(last_out ** 2))
-    block_pow = jnp.sqrt(jnp.mean(block ** 2, axis=1))  # (M-1,)
-
-    ratio = p.mu0 * block_pow / last_pow
-    mu = jnp.where(ratio < p.mu_max, p.mu0 / last_pow, p.mu0 / block_pow)
-    mu = jnp.where(jnp.isnan(mu) | jnp.isinf(mu), 0.0, mu)
+    # dynamic mu in the squared domain (gsc.cpp:146-157): the gate
+    # mu0*block_pow/last_pow < mu_max is evaluated as
+    # mu0^2*bsq < mu_max^2*osq (identical for non-negative power sums) and
+    # mu = mu0*rsqrt(mean square) — one rsqrt instead of 2 sqrt + 3 div,
+    # shared with the Pallas kernel so both agree to round-off
+    osq = jnp.sum(last_out ** 2)
+    bsq = jnp.sum(block ** 2, axis=1)                   # (M-1,)
+    cond = (p.mu0 * p.mu0) * bsq < (p.mu_max * p.mu_max) * osq
+    den = jnp.where(cond, osq, bsq) * kinv
+    mu_raw = p.mu0 * jax.lax.rsqrt(den)
+    mu = jnp.where(mu_raw < jnp.inf, mu_raw, 0.0)
 
     filt_new = state.filt + mu[:, None] * out * block
     filt_new = jnp.where(jnp.isnan(filt_new), 0.0, filt_new)
     upd = jnp.bool_(True)
     if p.use_vad:
+        last_pow = jnp.sqrt(osq * kinv)
         upd = last_pow < p.vad_threshold
         filt_new = jnp.where(upd, filt_new, state.filt)
     st = GscState(block, filt_new, last_out)
@@ -119,7 +126,7 @@ class GscModel(BatchableModel):
 
     def _use_pallas(self, num_samples: int) -> bool:
         return (common.use_mxu_fft(self.engine)       # tpu + float32
-                and self.params.filter_size >= 128
+                and self.params.filter_size == 128    # the reference default
                 and num_samples % 1024 == 0)
 
     def _forward(self, x, thetas, w_idx, state):
@@ -184,9 +191,8 @@ class GscModel(BatchableModel):
     def process_chunk(self, x_chunk, theta, state):
         x = jnp.asarray(x_chunk, dtype=self.rdtype)
         t = x.shape[-1] // self.engine.hop
-        th = common.theta_per_frame(theta, t)
-        uniq, w_idx = common.unique_thetas(th)
-        res = self._jit(x, uniq.astype(self.np_r), w_idx, state)
+        uniq, w_idx = self._theta_ctrl(theta, t)
+        res = self._jit(x, uniq, w_idx, state)
         if self.params.write_mu:
             out, state, (mu0, upd) = res
             self._write_mu_trace(np.asarray(mu0), np.asarray(upd))

@@ -171,7 +171,17 @@ class GssModel(BatchableConstrainedModel):
     def process_chunk(self, x_chunk, theta, state, interference=None):
         x = jnp.asarray(x_chunk, dtype=self.rdtype)
         t = x.shape[-1] // self.engine.hop
-        ctrl = self._control_arrays(theta, t, interference)
+        import numpy as _np
+        tlkey = (None if interference is None else
+                 (interference.angles.tobytes(),
+                  interference.active.tobytes(),
+                  interference.row0.tobytes(),
+                  interference.reset.tobytes()))
+        key = ("ctrl", _np.asarray(theta, _np.float64).tobytes(), t, tlkey)
+        ctrl = self._cached(
+            key, lambda: tuple(
+                jax.device_put(a)
+                for a in self._control_arrays(theta, t, interference)))
         s_state = state[1].shape[-2]
         s_ctrl = ctrl[1].shape[-1] + 1
         assert s_state == s_ctrl, (

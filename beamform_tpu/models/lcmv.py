@@ -165,20 +165,58 @@ class LcmvModel(BatchableConstrainedModel):
         """Fused-kernel path: sliding covariance + multi-RHS Cholesky +
         constraint-space solve in one Pallas kernel marching the frames,
         silent frames skipping the solve (lcmv.cpp:108-138 does no solve
-        work below the gate)."""
-        from beamform_tpu.kernels.lcmv_stream import lcmv_stream_pallas
+        work below the gate). On TPU the fused WOLA analysis feeds f32
+        planes straight through; off-TPU (the test hook) the complex path
+        runs in interpret mode."""
         p = self.params
         carry, hist0 = state
         c_uniq = self._constraints_traced(u_theta, u_angles, u_active,
                                           u_row0)               # (U,Nib,M,S)
-        ones1 = jnp.ones((u_active.shape[0], 1), dtype=self.rdtype)
-        inact = 1.0 - jnp.concatenate(
-            [ones1, jnp.asarray(u_active, dtype=self.rdtype)], axis=1)
         w_hist = p.past_windows
+        ib = jnp.asarray(self.ib)
+        idx = jnp.asarray(idx)
+        # kernel layout: constraints as (U, S, M, Nib)
+        c_k = jnp.moveaxis(c_uniq, (1, 2, 3), (3, 2, 1))
+
+        if common.use_wola_kernels(self.engine):
+            from beamform_tpu.kernels.wola_pallas import stft_planes
+            from beamform_tpu.kernels.lcmv_stream import (
+                lcmv_stream_planes_pallas)
+            sr, si, mag, tail = stft_planes(x, carry.tail, self.window,
+                                            self.engine)
+            t = sr.shape[0]
+            contig = bool(np.all(np.diff(self.ib) == 1))
+            if contig:
+                i0, i1 = int(self.ib[0]), int(self.ib[-1]) + 1
+                xr_ib, xi_ib = sr[:, :, i0:i1], si[:, :, i0:i1]
+                mag_ib = mag[:, i0:i1]
+            else:
+                xr_ib, xi_ib = sr[:, :, ib], si[:, :, ib]
+                mag_ib = mag[:, ib]
+            gate = mag_ib > p.freq_mag_threshold
+            act = jnp.any(gate, axis=1)
+            xr_ext = jnp.concatenate([hist0.real, xr_ib], axis=0)
+            xi_ext = jnp.concatenate([hist0.imag, xi_ib], axis=0)
+            yr, yi = lcmv_stream_planes_pallas(
+                xr_ext, xi_ext, c_k.real, c_k.imag, idx, act,
+                w_hist=w_hist)
+            y_k = jax.lax.complex(yr, yi)
+            x0_ib = jax.lax.complex(xr_ib[:, 0, :], xi_ib[:, 0, :])
+            y_ib = jnp.where(gate, y_k, x0_ib * 0.01)
+            hist = jax.lax.complex(xr_ext[t:t + w_hist],
+                                   xi_ext[t:t + w_hist])
+            nb = common.num_bins(self.engine)
+            y = jnp.zeros((t, nb), dtype=self.cdtype)
+            y = y.at[:, ib].set(y_ib)
+            y = y.at[:, 0].set(jax.lax.complex(sr[:, 0, 0], si[:, 0, 0]))
+            out, prev = common.istft_ext_carry(y, self.engine, self.window,
+                                               carry.out_prev)
+            return out * p.out_amp, (common.WolaCarry(tail, prev), hist)
+
+        from beamform_tpu.kernels.lcmv_stream import lcmv_stream_pallas
         x_spec, tail = common.stft_ext_carry(x, self.engine, self.window,
                                              self.cdtype, carry.tail)
         mag = common.mag_mean_over_mics(x_spec, self.engine.fft_win)
-        ib = jnp.asarray(self.ib)
         x_ib = x_spec[:, :, ib]
         mag_ib = mag[:, ib]
         t = x_ib.shape[0]
@@ -186,9 +224,7 @@ class LcmvModel(BatchableConstrainedModel):
         gate = mag_ib > p.freq_mag_threshold
         act = jnp.any(gate, axis=1)
         x_ext = jnp.concatenate([hist0, x_ib], axis=0)
-        # kernel layout: constraints as (U, S, M, Nib)
-        c_k = jnp.moveaxis(c_uniq, (1, 2, 3), (3, 2, 1))
-        y_k = lcmv_stream_pallas(x_ext, c_k, inact, jnp.asarray(idx), act,
+        y_k = lcmv_stream_pallas(x_ext, c_k, None, idx, act,
                                  w_hist=w_hist,
                                  interpret=not common.on_tpu_device())
         y_ib = jnp.where(gate, y_k, x_ib[:, 0, :] * 0.01)
@@ -285,7 +321,17 @@ class LcmvModel(BatchableConstrainedModel):
         chunk — the /theta_interference replacement (lcmv.cpp:258-309)."""
         x = jnp.asarray(x_chunk, dtype=self.rdtype)
         t = x.shape[-1] // self.engine.hop
-        ctrl = self._control_arrays(theta, t, interference)
+        import numpy as _np
+        tlkey = (None if interference is None else
+                 (interference.angles.tobytes(),
+                  interference.active.tobytes(),
+                  interference.row0.tobytes(),
+                  interference.reset.tobytes()))
+        key = ("ctrl", _np.asarray(theta, _np.float64).tobytes(), t, tlkey)
+        ctrl = self._cached(
+            key, lambda: tuple(
+                jax.device_put(a)
+                for a in self._control_arrays(theta, t, interference)))
         return self._jit(x, *ctrl, state)
 
     def process(self, x, theta=0.0, interference=None):

@@ -134,9 +134,8 @@ class McraModel(BatchableModel):
     def process_chunk(self, x_chunk, theta, state):
         x = jnp.asarray(x_chunk, dtype=self.rdtype)
         t = x.shape[-1] // self.engine.hop
-        import numpy as _np
-        return self._jit(x, _np.zeros(1, self.np_r),
-                         _np.zeros(t, _np.int32), state)
+        uniq, w_idx = self._theta_ctrl(0.0, t)
+        return self._jit(x, uniq, w_idx, state)
 
     def process(self, x, theta=0.0):
         x = common.prepare_input(x, self.engine, self.rdtype)

@@ -136,19 +136,61 @@ class MvdrModel(BatchableModel):
         solve and beamform application all run inside one Pallas kernel
         marching the frame axis, with silent frames (no gate-passing bin)
         skipping the solve entirely — the reference's own gate sparsity
-        (mvdr.cpp:84-96) at frame granularity. Output and carried state
+        (mvdr.cpp:84-96) at frame granularity. On TPU the analysis side is
+        the fused WOLA kernel feeding f32 planes straight through (no
+        complex spectra ever materialize); off-TPU (the test hook) the
+        plain complex path runs in interpret mode. Output and carried state
         match the dense path to f32 round-off."""
-        from beamform_tpu.kernels.mvdr_stream import mvdr_stream_pallas
         p = self.params
         n = self.engine.fft_win
         w_hist = p.past_windows
         carry, hist0 = state
-        x_spec, tail = common.stft_ext_carry(x, self.engine, self.window,
-                                             self.cdtype, carry.tail)
         w_uniq = common.weights_for_thetas(self.geom, self.freqs, thetas,
                                            self.rdtype, self.cdtype)
-        mag = common.mag_mean_over_mics(x_spec, n)
         ib = jnp.asarray(self.ib)
+        contig = bool(np.all(np.diff(self.ib) == 1))
+        w_idx = jnp.asarray(w_idx)
+
+        if common.use_wola_kernels(self.engine):
+            from beamform_tpu.kernels.wola_pallas import stft_planes
+            from beamform_tpu.kernels.mvdr_stream import (
+                mvdr_stream_planes_pallas)
+            sr, si, mag, tail = stft_planes(x, carry.tail, self.window,
+                                            self.engine)
+            t = sr.shape[0]
+            if contig:
+                i0, i1 = int(self.ib[0]), int(self.ib[-1]) + 1
+                xr_ib, xi_ib = sr[:, :, i0:i1], si[:, :, i0:i1]
+                mag_ib = mag[:, i0:i1]
+            else:
+                xr_ib, xi_ib = sr[:, :, ib], si[:, :, ib]
+                mag_ib = mag[:, ib]
+            d_ib = w_uniq[:, :, ib]
+            gate = mag_ib > p.freq_mag_threshold
+            act = jnp.any(gate, axis=1)
+            xr_ext = jnp.concatenate([hist0.real, xr_ib], axis=0)
+            xi_ext = jnp.concatenate([hist0.imag, xi_ib], axis=0)
+            yr, yi = mvdr_stream_planes_pallas(
+                xr_ext, xi_ext, d_ib.real, d_ib.imag, w_idx, act,
+                w_hist=w_hist)
+            y_k = jax.lax.complex(yr, yi)
+            x0_ib = jax.lax.complex(xr_ib[:, 0, :], xi_ib[:, 0, :])
+            y_ib = jnp.where(gate, y_k, x0_ib * 0.01)      # mvdr.cpp:96
+            hist = jax.lax.complex(xr_ext[t:t + w_hist],
+                                   xi_ext[t:t + w_hist])
+            x00 = jax.lax.complex(sr[:, 0, 0], si[:, 0, 0])
+            nb = common.num_bins(self.engine)
+            y = jnp.zeros((t, nb), dtype=self.cdtype)
+            y = y.at[:, ib].set(y_ib)
+            y = y.at[:, 0].set(x00)                           # mvdr.cpp:76
+            out, prev = common.istft_ext_carry(y, self.engine, self.window,
+                                               carry.out_prev)
+            return out * p.out_amp, (common.WolaCarry(tail, prev), hist)
+
+        from beamform_tpu.kernels.mvdr_stream import mvdr_stream_pallas
+        x_spec, tail = common.stft_ext_carry(x, self.engine, self.window,
+                                             self.cdtype, carry.tail)
+        mag = common.mag_mean_over_mics(x_spec, n)
         x_ib = x_spec[:, :, ib]                            # (T, M, Nib)
         mag_ib = mag[:, ib]
         d_ib = w_uniq[:, :, ib]                            # (U, M, Nib)
@@ -157,8 +199,7 @@ class MvdrModel(BatchableModel):
         gate = mag_ib > p.freq_mag_threshold               # (T, Nib)
         act = jnp.any(gate, axis=1)
         x_ext = jnp.concatenate([hist0, x_ib], axis=0)     # (W+T, M, Nib)
-        y_k = mvdr_stream_pallas(x_ext, d_ib, jnp.asarray(w_idx), act,
-                                 w_hist=w_hist,
+        y_k = mvdr_stream_pallas(x_ext, d_ib, w_idx, act, w_hist=w_hist,
                                  interpret=not common.on_tpu_device())
         y_ib = jnp.where(gate, y_k, x_ib[:, 0, :] * 0.01)  # mvdr.cpp:96
         hist = x_ext[t:t + w_hist]
@@ -268,9 +309,8 @@ class MvdrModel(BatchableModel):
     def process_chunk(self, x_chunk, theta, state):
         x = jnp.asarray(x_chunk, dtype=self.rdtype)
         t = x.shape[-1] // self.engine.hop
-        th = common.theta_per_frame(theta, t)
-        uniq, w_idx = common.unique_thetas(th)
-        return self._jit(x, uniq.astype(self.np_r), w_idx, state)
+        uniq, w_idx = self._theta_ctrl(theta, t)
+        return self._jit(x, uniq, w_idx, state)
 
     def process(self, x, theta=0.0):
         x = common.prepare_input(x, self.engine, self.rdtype)

@@ -49,10 +49,9 @@ class RefModel(BatchableModel):
         x = jnp.asarray(x_chunk, dtype=self.rdtype)
         if x.ndim == 1:
             x = x[None, :]
-        import numpy as _np
         t = x.shape[-1] // self.engine.hop
-        return self._jit(x, _np.zeros(1, self.np_r),
-                         _np.zeros(t, _np.int32), state)
+        uniq, w_idx = self._theta_ctrl(0.0, t)
+        return self._jit(x, uniq, w_idx, state)
 
     def process(self, x, theta=0.0):
         x = common.prepare_input(x, self.engine, self.rdtype)
@@ -98,10 +97,9 @@ class ReadModel(BatchableModel):
 
     def process_chunk(self, x_chunk, theta, state):
         x = jnp.asarray(x_chunk, dtype=self.rdtype)
-        import numpy as _np
         t = x.shape[-1] // self.engine.hop
-        return self._jit(x, _np.zeros(1, self.np_r),
-                         _np.zeros(t, _np.int32), state)
+        uniq, w_idx = self._theta_ctrl(0.0, t)
+        return self._jit(x, uniq, w_idx, state)
 
     def process(self, x, theta=0.0):
         x = common.prepare_input(x, self.engine, self.rdtype)
