@@ -112,6 +112,9 @@ def _fwd_kernel(fw_ref, w1r_ref, w1i_ref, twr_ref, twi_ref,
                     jnp.sum(amag, axis=0, keepdims=True) * minv)
 
 
+MAX_CHANNELS_PER_BLOCK = 32
+
+
 def rfft_frames_pallas(fw, m: int, nfft: int, with_mag: bool = True,
                        interpret: bool = False,
                        frames_per_step: int = FRAMES_PER_STEP):
@@ -121,38 +124,51 @@ def rfft_frames_pallas(fw, m: int, nfft: int, with_mag: bool = True,
     sample N2*n1 + n2]. Returns (spec_r, spec_i (T, M, K2MAX*128), mag
     (T, K2MAX*128) or None): full-DFT bins 0..K2MAX*128-1 — slice [:h+2]
     for the extended-rFFT layout.
+
+    Wide channel counts (batched serving flattens B*M channels) are walked
+    by a second grid dimension so the per-step VMEM block stays bounded;
+    the cross-channel magnitude reduction only exists on the single-block
+    path (its consumers are the M<=64 MVDR/LCMV pipelines).
     """
     t = fw.shape[0]
     fb = frames_per_step
     tp = -(-t // fb) * fb
-    w1r, w1i, twr, twi, _, n2, k2max = _fwd_consts(nfft, m)
+    mp = m
+    gc = m
+    if m > MAX_CHANNELS_PER_BLOCK:
+        assert not with_mag, "fused magnitude needs all channels per block"
+        gc = MAX_CHANNELS_PER_BLOCK
+        mp = -(-m // gc) * gc
+        fw = jnp.pad(fw, ((0, 0), (0, 0), (0, mp - m), (0, 0)))
+    w1r, w1i, twr, twi, _, n2, k2max = _fwd_consts(nfft, gc)
     fw = jnp.pad(fw, ((0, tp - t), (0, 0), (0, 0), (0, 0)))
     nbp = k2max * 128
 
-    kernel = functools.partial(_fwd_kernel, m=m, n2=n2, k2max=k2max, fb=fb,
+    kernel = functools.partial(_fwd_kernel, m=gc, n2=n2, k2max=k2max, fb=fb,
                                nfft=nfft, with_mag=with_mag)
-    const = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+    nchan = mp // gc
+    const = lambda shape: pl.BlockSpec(shape, lambda i, c: (0,) * len(shape),
                                        memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
         kernel,
-        grid=(tp // fb,),
+        grid=(tp // fb, nchan),
         in_specs=[
-            pl.BlockSpec((fb, n2, m, 128), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((fb, n2, gc, 128), lambda i, c: (i, 0, c, 0),
                          memory_space=pltpu.VMEM),
             const((128, 128)), const((128, 128)),
-            const((n2 * m, 128)), const((n2 * m, 128)),
+            const((n2 * gc, 128)), const((n2 * gc, 128)),
         ],
         out_specs=[
-            pl.BlockSpec((fb, m, nbp), lambda i: (i, 0, 0),
+            pl.BlockSpec((fb, gc, nbp), lambda i, c: (i, c, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((fb, m, nbp), lambda i: (i, 0, 0),
+            pl.BlockSpec((fb, gc, nbp), lambda i, c: (i, c, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((fb, 1, nbp), lambda i: (i, 0, 0),
+            pl.BlockSpec((fb, 1, nbp), lambda i, c: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((tp, m, nbp), jnp.float32),
-            jax.ShapeDtypeStruct((tp, m, nbp), jnp.float32),
+            jax.ShapeDtypeStruct((tp, mp, nbp), jnp.float32),
+            jax.ShapeDtypeStruct((tp, mp, nbp), jnp.float32),
             jax.ShapeDtypeStruct((tp, 1, nbp), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -161,7 +177,7 @@ def rfft_frames_pallas(fw, m: int, nfft: int, with_mag: bool = True,
     )(jnp.asarray(fw), jnp.asarray(w1r), jnp.asarray(w1i),
       jnp.asarray(twr), jnp.asarray(twi))
     sr, si, mag = outs
-    return (sr[:t], si[:t], mag[:t, 0] if with_mag else None)
+    return (sr[:t, :m], si[:t, :m], mag[:t, 0] if with_mag else None)
 
 
 def stft_planes(x, tail, window, engine, with_mag: bool = True,

@@ -162,15 +162,38 @@ class GscModel(BatchableModel):
             self._batched_fn = fn
         return fn(x, *ctrl, state)
 
+    def _aligned_streams_batched(self, x, thetas, w_idx, carry):
+        """Stage 1 for B streams without vmapping: the (B, M) channels
+        flatten into one channel axis through the WOLA analysis (a vmapped
+        pallas_call would recompile per batching rule and crashes Mosaic),
+        then steer per (stream, frame) and resynthesize per channel."""
+        b, m, s_len = x.shape
+        hop = self.engine.hop
+        t = s_len // hop
+        xf = x.reshape(b * m, s_len)
+        tailf = carry.tail.reshape(b * m, hop)
+        x_spec, tailf2 = common.stft_ext_carry(
+            xf, self.engine, self.window, self.cdtype, tailf)  # (T, BM, NB)
+        new_tail = tailf2.reshape(b, m, hop)
+        spec = jnp.moveaxis(x_spec.reshape(t, b, m, -1), 1, 0)  # (B,T,M,NB)
+        w_uniq = common.weights_for_thetas(self.geom, self.freqs, thetas,
+                                           self.rdtype, self.cdtype)
+        w = w_uniq[w_idx]                          # (B, T, M, NB)
+        aligned_spec = spec * jnp.conj(w)          # gsc.cpp:62-65
+        y = common.synth_frames_ext(aligned_spec, self.engine)  # (B,T,M,N)
+        y = y * self.window
+        y = jnp.moveaxis(y, 2, 1)                  # (B, M, T, N)
+        streams, prev = overlap_add_carry(y, hop, carry.out_prev)
+        return streams, common.WolaCarry(new_tail, prev)   # (B, M, S)
+
     def _forward_batched(self, x, thetas, idx, state):
         """Multi-stream forward: x (B, M, S), idx (B, T), state leaves with
-        leading B. Stage 1 vmaps; the adaptive stage runs the natively
-        batched Pallas kernel (streams on sublanes amortize the per-sample
-        issue overhead) or a vmapped scan elsewhere."""
+        leading B. Stage 1 runs channel-flattened; the adaptive stage runs
+        the natively batched Pallas kernel (streams on sublanes amortize
+        the per-sample issue overhead) or a vmapped scan elsewhere."""
         carry, gstate = state
-        aligned, carry = jax.vmap(
-            lambda xx, ii, c: self.aligned_streams(xx, thetas, ii, c),
-            in_axes=(0, 0, 0))(x, idx, carry)        # aligned (B, M, S)
+        aligned, carry = self._aligned_streams_batched(x, thetas, idx,
+                                                       carry)
 
         if self._use_pallas(aligned.shape[-1]) and not self.params.write_mu:
             from beamform_tpu.kernels.gsc_pallas import (

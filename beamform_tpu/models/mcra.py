@@ -121,7 +121,8 @@ class McraModel(BatchableModel):
                   else x_t[0])
             return state, y.at[0].set(dc)
 
-        mstate, y = jax.lax.scan(step, mstate, (s_f, sq, x_spec))
+        mstate, y = jax.lax.scan(step, mstate, (s_f, sq, x_spec),
+                                unroll=8)
         out, prev = common.istft_ext_carry(y, self.engine, self.window,
                                            carry.out_prev)
         return out, (common.WolaCarry(tail, prev), mstate)

@@ -201,7 +201,8 @@ class PhasempfModel(BatchableModel):
                            current_l, first_l)
             return new, y.at[0].set(dc)
 
-        mstate, y = jax.lax.scan(step, mstate, (s_f, soi_sq, int_sq, soi))
+        mstate, y = jax.lax.scan(step, mstate, (s_f, soi_sq, int_sq, soi),
+                                unroll=8)
         out, prev = common.istft_ext_carry(y, self.engine, self.window,
                                            carry.out_prev)
         out, smooth_tail = moving_average_causal_carry(out, p.smooth_size,

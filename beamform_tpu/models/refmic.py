@@ -35,8 +35,8 @@ class RefModel(BatchableModel):
 
     def stream_init(self):
         h = self.engine.hop
-        return common.WolaCarry(jnp.zeros((h,), dtype=self.rdtype),
-                                jnp.zeros((h,), dtype=self.rdtype))
+        return common.WolaCarry(common.device_zeros((h,), self.rdtype),
+                                common.device_zeros((h,), self.rdtype))
 
     def _forward(self, x, thetas, w_idx, carry: common.WolaCarry):
         del thetas, w_idx  # no steering (jack_ref.cpp)

@@ -29,9 +29,11 @@ TARGET_XRT = 1000.0
 
 def make_input(num_mics: int, seconds: float, fs: int, dtype=np.float32):
     rng = np.random.default_rng(0)
-    x = 0.1 * rng.standard_normal((num_mics, int(seconds * fs)))
-    # quiet lead-in keeps MVDR/LCMV cold-start covariances gated off
-    x[:, :12 * 1024] *= 1e-4
+    # float32 generation: the bench host is a small VM and occasionally
+    # CPU-starved; input synthesis must not eat the driver's budget
+    x = 0.1 * rng.standard_normal((num_mics, int(seconds * fs)),
+                                  dtype=np.float32)
+    x[:, :12 * 1024] *= 1e-4   # quiet lead-in keeps cold covariances gated
     return x.astype(dtype)
 
 
@@ -43,7 +45,7 @@ def make_speech_input(num_mics: int, seconds: float, fs: int,
     them, matching how the reference actually runs on speech."""
     rng = np.random.default_rng(7)
     n = int(seconds * fs)
-    w = rng.standard_normal((num_mics, n))
+    w = rng.standard_normal((num_mics, n), dtype=np.float32)
     # spectral tilt: ~1/sqrt(1 + f/300Hz) rolloff
     spec = np.fft.rfft(w, axis=-1)
     f = np.fft.rfftfreq(n, 1.0 / fs)
@@ -67,7 +69,10 @@ def gate_pass_rate(x, engine_hop: int, fs: int, threshold: float,
     m, n = x.shape
     nfft = 2 * engine_hop
     t = n // engine_hop - 1
-    idx = np.arange(t)[:, None] * engine_hop + np.arange(nfft)[None, :]
+    # every 4th frame: the pass-rate statistic converges long before the
+    # full host-side FFT would finish on a starved VM
+    idx = (np.arange(0, t, 4)[:, None] * engine_hop
+           + np.arange(nfft)[None, :])
     win = np.sin(np.pi * (np.arange(nfft) + 0.5) / nfft) ** 0.5  # approx ok
     frames = x[:, idx] * win
     spec = np.fft.rfft(frames, axis=-1)
@@ -140,8 +145,10 @@ def bench_model(name: str, x, cfg, seconds: float, params=None, theta=20.0,
 
     run_k(1)             # warmup / compile
     warm = run_k(2) / 2  # post-compile estimate for the chain length
-    k = int(min(64, max(repeats, 1.5 / max(warm, 1e-3))))
-    dt = min(run_k(k), run_k(k))  # best of two sets
+    k = int(min(32, max(repeats, 1.5 / max(warm, 1e-3))))
+    dt = run_k(k)
+    if dt < 4.0:         # second set only when the host isn't starved
+        dt = min(dt, run_k(k))
     return k * seconds / dt
 
 
@@ -161,16 +168,23 @@ def bench_batched(name: str, cfg, seconds: float, batch: int, mics: int,
         (batch, mics, int(seconds * 48000) // 1024 * 1024))
     ).astype(np.float32))
     thetas = np.linspace(-60, 60, batch)
-    acc = runner.process(xs, thetas)[:, -5:].sum()
+    # stream 2 s chunks through the stateful runner — the serving shape,
+    # and the flattened (B*M)-channel analysis of a long one-shot window
+    # would not fit HBM next to its spectra at batch 32
+    chunk = 2 * 48000 // 1024 * 1024
+    n = xs.shape[-1] // chunk * chunk
+    acc = runner.process(xs[..., :chunk], thetas)[:, -5:].sum()
     float(acc)  # warm
     lat = fetch_latency()
     t0 = time.perf_counter()
     acc = jnp.zeros(())
     for _ in range(4):
-        acc = acc + runner.process(xs, thetas)[:, -5:].sum()
+        for i in range(0, n, chunk):
+            acc = acc + runner.process(xs[..., i:i + chunk],
+                                       thetas)[:, -5:].sum()
     float(acc)
     dt = time.perf_counter() - t0 - lat
-    return 4 * batch * seconds / dt
+    return 4 * batch * (n / 48000) / dt
 
 
 LAUNCH = {
@@ -193,7 +207,7 @@ LAUNCH = {
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--seconds", type=float, default=60.0)
+    ap.add_argument("--seconds", type=float, default=30.0)
     ap.add_argument("--mics", type=int, default=16)
     ap.add_argument("--headline-only", action="store_true",
                     help="only the DAS headline (round-1 default behavior)")
@@ -253,8 +267,10 @@ def main():
         # headline for it (single-stream is latency-bound by design)
         if budget_left():
             try:
+                # 10 s chunks: the flattened 32x16-channel analysis of a
+                # longer window would not fit HBM alongside its spectra
                 result["gsc_batch32_aggregate_xrt"] = round(
-                    bench_batched("gsc", cfg, min(args.seconds, 20.0), 32,
+                    bench_batched("gsc", cfg, min(args.seconds, 10.0), 32,
                                   args.mics, LAUNCH["gsc"]), 1)
             except Exception as e:
                 result["gsc_batch32_aggregate_xrt"] = (

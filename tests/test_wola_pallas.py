@@ -98,3 +98,24 @@ def test_roundtrip_reconstruction():
     got = out[HOP:]
     err = np.abs(got - ref)[HOP:]            # skip the ramp-in hop too
     assert err.max() < 1e-5 * max(1.0, np.abs(ref).max())
+
+
+def test_stft_planes_wide_channel_chunking():
+    """B*M-channel batched analysis (beyond MAX_CHANNELS_PER_BLOCK) chunks
+    channels over a second grid dimension and matches the narrow path."""
+    engine = _engine()
+    m, t = 40, 6                      # > 32 forces the chunked grid
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((m, t * HOP)).astype(np.float32)
+    tail = rng.standard_normal((m, HOP)).astype(np.float32)
+    window = common.make_window(engine, jnp.float32)
+
+    sr, si, _, _ = jax.jit(
+        lambda *a: stft_planes(*a, engine, with_mag=False, interpret=True)
+    )(jnp.asarray(x), jnp.asarray(tail), window)
+    ref, _ = common.stft_ext_carry(jnp.asarray(x), engine, window,
+                                   jnp.complex64, jnp.asarray(tail))
+    nb = ref.shape[-1]
+    got = np.asarray(sr)[:, :, :nb] + 1j * np.asarray(si)[:, :, :nb]
+    scale = np.abs(np.asarray(ref)).max()
+    assert np.abs(got - np.asarray(ref)).max() / scale < 1e-5
