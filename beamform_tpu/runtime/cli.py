@@ -69,6 +69,13 @@ def build_parser():
                         "from the array config)")
     p.add_argument("--live-rate", type=int, default=48000,
                    help="sample rate for --live")
+    p.add_argument("--live-overrun", choices=("block", "drop"),
+                   default="block",
+                   help="live-input overload policy: 'block' applies "
+                        "backpressure through the pipe; 'drop' sheds "
+                        "backlogged chunks like a JACK xrun (silence out, "
+                        "counted in the report) and only processes the "
+                        "freshest audio")
     p.add_argument("--live-chunk", type=int, default=4,
                    help="hops per processing chunk in --live mode (latency "
                         "vs throughput)")
@@ -283,6 +290,49 @@ def run_live(args) -> int:
     stdin = sys.stdin.buffer
     stdout = sys.stdout.buffer
 
+    # raw-fd input with an explicit backlog buffer so the 'drop' overrun
+    # policy can shed load: JACK's real-time contract is "miss the deadline,
+    # lose the period" (rosjack.cpp:78-82) — a pipe blocks instead, so when
+    # the consumer falls behind we skip every backlogged chunk but the
+    # newest, emit silence in their place and count them like xruns.
+    import os as _os
+    import select as _select
+    raw_fd = stdin.fileno()
+    chunk_bytes = chunk * frame_bytes
+    pending = b""
+    eof = False
+
+    def read_chunk_blocking():
+        nonlocal pending, eof
+        while len(pending) < chunk_bytes and not eof:
+            d = _os.read(raw_fd, chunk_bytes)
+            if not d:
+                eof = True
+                break
+            pending += d
+        out = pending[:chunk_bytes]
+        pending = pending[len(out):]
+        return out
+
+    def drain_backlog():
+        """Pull everything already queued in the pipe; drop all complete
+        backlogged chunks except the newest. Returns the drop count."""
+        nonlocal pending, eof
+        while not eof:
+            r, _, _ = _select.select([raw_fd], [], [], 0)
+            if not r:
+                break
+            d = _os.read(raw_fd, 1 << 20)
+            if not d:
+                eof = True
+                break
+            pending += d
+        dropped = 0
+        while len(pending) >= 2 * chunk_bytes:
+            pending = pending[chunk_bytes:]
+            dropped += 1
+        return dropped
+
     # warm up the compiled step before real audio arrives; don't let the
     # compile count as an xrun
     sess.process(np.zeros((channels, chunk), dtype=np.float32), theta)
@@ -291,8 +341,10 @@ def run_live(args) -> int:
     from beamform_tpu.utils.profiling import RealTimeMonitor
     sess.monitor = RealTimeMonitor(fs)
 
+    total_dropped = 0
+    silence = np.zeros(chunk, dtype="<f4").tobytes()
     while True:
-        raw = stdin.read(chunk * frame_bytes)
+        raw = read_chunk_blocking()
         if not raw:
             break
         if args.theta_control:    # the /theta topic, polled per chunk
@@ -304,8 +356,16 @@ def run_live(args) -> int:
             block = np.pad(block, ((0, 0), (0, chunk - n)))
         y = np.asarray(sess.process(block, theta), dtype=np.float32)[:n]
         stdout.write(y.astype("<f4").tobytes())
+        if args.live_overrun == "drop":
+            dropped = drain_backlog()
+            if dropped:
+                total_dropped += dropped
+                sess.monitor.xruns += dropped
+                stdout.write(silence * dropped)
         stdout.flush()
-    print(json.dumps({"live": sess.monitor.report()}), file=sys.stderr)
+    report = sess.monitor.report()
+    report["dropped_chunks"] = total_dropped
+    print(json.dumps({"live": report}), file=sys.stderr)
     return 0
 
 

@@ -130,3 +130,30 @@ def test_live_theta_control_matches_offline_timeline(tmp_path):
         outs.append(np.asarray(y, dtype=np.float32))
     y_ref = np.concatenate(outs)
     np.testing.assert_allclose(y_live, y_ref, atol=2e-7)
+
+
+def test_live_drop_overrun_sheds_backlog(tmp_path):
+    """--live-overrun drop: with the whole input queued up-front (worst-case
+    backlog) output stays 1:1 with input and backlogged chunks are shed as
+    counted drops."""
+    import json
+    import subprocess
+    import sys
+
+    import numpy as np
+
+    hop, chunks = 128, 12
+    rng = np.random.default_rng(0)
+    x = (0.1 * rng.standard_normal((chunks * hop,))).astype("<f4")
+    r = subprocess.run(
+        [sys.executable, "-m", "beamform_tpu.runtime.cli", "ref",
+         "--live", "--live-channels", "1", "--live-chunk", "1",
+         "--window-size", str(hop), "--live-overrun", "drop"],
+        input=x.tobytes(), capture_output=True)
+    assert r.returncode == 0, r.stderr.decode()[-500:]
+    y = np.frombuffer(r.stdout, dtype="<f4")
+    assert y.shape == x.shape                      # 1:1 stream continuity
+    rep = json.loads([l for l in r.stderr.decode().splitlines()
+                      if l.startswith("{")][-1])["live"]
+    assert rep["dropped_chunks"] > 0               # backlog actually shed
+    assert rep["xruns"] >= rep["dropped_chunks"]

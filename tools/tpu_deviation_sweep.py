@@ -7,9 +7,10 @@ models/lcmv.py). Run from the repo root:
 
     python tools/tpu_deviation_sweep.py [--mics {3,16}] [--seconds 0.25]
 
-Last run (2026-08-16, v5e): all 8 beamformers within 2.7e-4 at 3 and 16
-mics (das 1.2e-7, phase 1.5e-8, mcra 1.8e-7, phasempf 6.0e-7, mvdr 1.7e-5,
-lcmv 2.7e-5, gss 1.7e-4, gsc 1.2e-7 at 16 mics).
+Last run (2026-08-17, v5e, through the fused WOLA + streaming
+MVDR/LCMV/GSC kernels): all 8 beamformers within 2.0e-4 at 16 mics
+(das 9.7e-8, phase 1.7e-8, mcra 1.8e-7, phasempf 6.0e-7, mvdr 9.8e-6,
+lcmv 8.1e-6, gss 2.0e-4, gsc 9.1e-8) and within 7.2e-5 at 3 mics.
 """
 
 import argparse
