@@ -57,11 +57,16 @@ def _fwd_consts(nfft: int, m: int):
     tw = np.exp(-2j * np.pi * np.outer(np.arange(n2), k1) / nfft)
     # rows n2*m + mic -> twiddle depends on n2 only
     tw_rows = np.repeat(tw, m, axis=0)                    # (n2*m, 128)
-    w2 = np.exp(-2j * np.pi
-                * np.outer(np.arange(n2), np.arange(k2max)) / n2)
+    # the sqrt-Hann analysis window in the per-hop stride layout: value at
+    # (row n2*m+mic, lane n1) is win[N2*n1 + n2] for the first half of the
+    # frame (n1 < 64) and win[N2*(64+n1) + n2] for the second
+    from beamform_tpu.dsp.wola import sqrt_hann
+    win = sqrt_hann(nfft, np.float32).reshape(128, n2)    # [n1, n2]
+    win_lo = np.repeat(win[:64].T, m, axis=0)             # (n2*m, 64)
+    win_hi = np.repeat(win[64:].T, m, axis=0)
     return (w1.real.astype(np.float32), w1.imag.astype(np.float32),
             tw_rows.real.astype(np.float32), tw_rows.imag.astype(np.float32),
-            w2, n2, k2max)
+            win_lo.astype(np.float32), win_hi.astype(np.float32), k2max)
 
 
 def _acc_term(acc_r, acc_i, gr, gi, wr: float, wi: float):
@@ -81,17 +86,27 @@ def _acc_term(acc_r, acc_i, gr, gi, wr: float, wi: float):
     return (acc_r + (gr * wr - gi * wi), acc_i + (gr * wi + gi * wr))
 
 
-def _fwd_kernel(fw_ref, w1r_ref, w1i_ref, twr_ref, twi_ref,
+def _fwd_kernel(pv_ref, cu_ref, w1r_ref, w1i_ref, twr_ref, twi_ref,
+                wlo_ref, whi_ref,
                 sr_ref, si_ref, mag_ref,
                 *, m: int, n2: int, k2max: int, fb: int, nfft: int,
                 with_mag: bool):
     minv = np.float32(1.0 / (m * nfft))
     for f in range(fb):
-        q = fw_ref[f].reshape(n2 * m, 128)
-        f1r = jax.lax.dot(q, w1r_ref[:], precision=_HP,
-                          preferred_element_type=jnp.float32)
-        f1i = jax.lax.dot(q, w1i_ref[:], precision=_HP,
-                          preferred_element_type=jnp.float32)
+        # the frame is [previous hop | current hop]; the halves stay
+        # separate (a sub-tile lane concat would relayout) and stage 1
+        # contracts each against its half of the DFT matrix:
+        # sum_n1 x[n1] W1[n1,k1] = sum_{n1<64} prev.. + sum_{n1>=64} cur..
+        p = pv_ref[f].reshape(n2 * m, 64) * wlo_ref[:]
+        c = cu_ref[f].reshape(n2 * m, 64) * whi_ref[:]
+        f1r = (jax.lax.dot(p, w1r_ref[:64], precision=_HP,
+                           preferred_element_type=jnp.float32)
+               + jax.lax.dot(c, w1r_ref[64:], precision=_HP,
+                             preferred_element_type=jnp.float32))
+        f1i = (jax.lax.dot(p, w1i_ref[:64], precision=_HP,
+                           preferred_element_type=jnp.float32)
+               + jax.lax.dot(c, w1i_ref[64:], precision=_HP,
+                             preferred_element_type=jnp.float32))
         gr = f1r * twr_ref[:] - f1i * twi_ref[:]
         gi = f1r * twi_ref[:] + f1i * twr_ref[:]
         for k2 in range(k2max):
@@ -115,22 +130,26 @@ def _fwd_kernel(fw_ref, w1r_ref, w1i_ref, twr_ref, twi_ref,
 MAX_CHANNELS_PER_BLOCK = 32
 
 
-def rfft_frames_pallas(fw, m: int, nfft: int, with_mag: bool = True,
-                       interpret: bool = False,
-                       frames_per_step: int = FRAMES_PER_STEP):
-    """Forward DFT of windowed stride-layout frames.
+def rfft_hops_pallas(hs, m: int, nfft: int, with_mag: bool = True,
+                     interpret: bool = False,
+                     frames_per_step: int = FRAMES_PER_STEP):
+    """Forward DFT of stride-layout HOPS (no frame duplication).
 
-    fw: (T, N2, M, 128) float32, fw[t, n2, mic, n1] = (x*win)[mic, frame t,
-    sample N2*n1 + n2]. Returns (spec_r, spec_i (T, M, K2MAX*128), mag
-    (T, K2MAX*128) or None): full-DFT bins 0..K2MAX*128-1 — slice [:h+2]
-    for the extended-rFFT layout.
+    hs: (T+1, N2, M, 64) float32, hs[h, n2, mic, n1] = x[mic, hop h,
+    sample N2*n1 + n2] — each hop appears once; frame t is
+    [hop t | hop t+1] and the analysis window is applied in-kernel (a hop
+    is the first half of one frame and the second half of the next, under
+    different window halves). Returns (spec_r, spec_i (T, M, K2MAX*128),
+    mag (T, K2MAX*128) or None): full-DFT bins — slice [:h+2] for the
+    extended-rFFT layout.
 
     Wide channel counts (batched serving flattens B*M channels) are walked
     by a second grid dimension so the per-step VMEM block stays bounded;
     the cross-channel magnitude reduction only exists on the single-block
     path (its consumers are the M<=64 MVDR/LCMV pipelines).
     """
-    t = fw.shape[0]
+    t = hs.shape[0] - 1
+    n2 = nfft // 128
     fb = frames_per_step
     tp = -(-t // fb) * fb
     mp = m
@@ -139,9 +158,10 @@ def rfft_frames_pallas(fw, m: int, nfft: int, with_mag: bool = True,
         assert not with_mag, "fused magnitude needs all channels per block"
         gc = MAX_CHANNELS_PER_BLOCK
         mp = -(-m // gc) * gc
-        fw = jnp.pad(fw, ((0, 0), (0, 0), (0, mp - m), (0, 0)))
-    w1r, w1i, twr, twi, _, n2, k2max = _fwd_consts(nfft, gc)
-    fw = jnp.pad(fw, ((0, tp - t), (0, 0), (0, 0), (0, 0)))
+        hs = jnp.pad(hs, ((0, 0), (0, 0), (0, mp - m), (0, 0)))
+    w1r, w1i, twr, twi, win_lo, win_hi, k2max = _fwd_consts(nfft, gc)
+    pv = jnp.pad(hs[:t], ((0, tp - t), (0, 0), (0, 0), (0, 0)))
+    cu = jnp.pad(hs[1:t + 1], ((0, tp - t), (0, 0), (0, 0), (0, 0)))
     nbp = k2max * 128
 
     kernel = functools.partial(_fwd_kernel, m=gc, n2=n2, k2max=k2max, fb=fb,
@@ -149,14 +169,16 @@ def rfft_frames_pallas(fw, m: int, nfft: int, with_mag: bool = True,
     nchan = mp // gc
     const = lambda shape: pl.BlockSpec(shape, lambda i, c: (0,) * len(shape),
                                        memory_space=pltpu.VMEM)
+    hop_spec = pl.BlockSpec((fb, n2, gc, 64), lambda i, c: (i, 0, c, 0),
+                            memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
         kernel,
         grid=(tp // fb, nchan),
         in_specs=[
-            pl.BlockSpec((fb, n2, gc, 128), lambda i, c: (i, 0, c, 0),
-                         memory_space=pltpu.VMEM),
+            hop_spec, hop_spec,
             const((128, 128)), const((128, 128)),
             const((n2 * gc, 128)), const((n2 * gc, 128)),
+            const((n2 * gc, 64)), const((n2 * gc, 64)),
         ],
         out_specs=[
             pl.BlockSpec((fb, gc, nbp), lambda i, c: (i, c, 0),
@@ -174,8 +196,9 @@ def rfft_frames_pallas(fw, m: int, nfft: int, with_mag: bool = True,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=32 * 1024 * 1024),
         interpret=interpret,
-    )(jnp.asarray(fw), jnp.asarray(w1r), jnp.asarray(w1i),
-      jnp.asarray(twr), jnp.asarray(twi))
+    )(pv, cu, jnp.asarray(w1r), jnp.asarray(w1i),
+      jnp.asarray(twr), jnp.asarray(twi),
+      jnp.asarray(win_lo), jnp.asarray(win_hi))
     sr, si, mag = outs
     return (sr[:t, :m], si[:t, :m], mag[:t, 0] if with_mag else None)
 
@@ -186,7 +209,10 @@ def stft_planes(x, tail, window, engine, with_mag: bool = True,
     (spec_r, spec_i (T, M, NBP), mag (T, NBP) | None, new_tail).
 
     NBP = K2MAX*128 full-DFT bins; the extended layout is the [:h+2] prefix
-    (the shadow bin conj(X[h-1]) IS full-DFT bin h+1).
+    (the shadow bin conj(X[h-1]) IS full-DFT bin h+1). The only host-side
+    prep is one stride transpose of the NON-overlapping hop stream (half
+    the bytes of materialized 50%-overlap frames; windowing and the frame
+    assembly happen in-kernel).
     """
     hop = engine.hop
     nfft = engine.fft_win
@@ -194,14 +220,15 @@ def stft_planes(x, tail, window, engine, with_mag: bool = True,
     t = s // hop
     n2 = nfft // 128
     ext = jnp.concatenate([jnp.asarray(tail, x.dtype), x], axis=-1)
-    frames_flat = (
-        jnp.concatenate([ext[:, :-hop].reshape(m, t, hop),
-                         ext[:, hop:].reshape(m, t, hop)], axis=-1)
-        * jnp.asarray(window, x.dtype))
-    # stride layout: sample N2*n1 + n2 -> [n2 rows, n1 lanes]
-    fw = jnp.transpose(frames_flat.reshape(m, t, 128, n2), (1, 3, 0, 2))
-    sr, si, mag = rfft_frames_pallas(fw, m, nfft, with_mag=with_mag,
-                                     interpret=interpret)
+    # stride layout per hop: sample N2*n1 + n2 -> [n2 rows, n1 lanes]
+    hs = jnp.transpose(ext.reshape(m, t + 1, 64, n2), (1, 3, 0, 2))
+    if isinstance(window, np.ndarray):
+        from beamform_tpu.dsp.wola import sqrt_hann
+        assert np.abs(window - sqrt_hann(nfft, window.dtype)).max() < 1e-6, \
+            "the fused analysis bakes the sqrt-Hann window into kernel consts"
+    del window
+    sr, si, mag = rfft_hops_pallas(hs, m, nfft, with_mag=with_mag,
+                                   interpret=interpret)
     return sr, si, mag, x[:, -hop:]
 
 

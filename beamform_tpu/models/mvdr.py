@@ -180,9 +180,16 @@ class MvdrModel(BatchableModel):
                                    xi_ext[t:t + w_hist])
             x00 = jax.lax.complex(sr[:, 0, 0], si[:, 0, 0])
             nb = common.num_bins(self.engine)
-            y = jnp.zeros((t, nb), dtype=self.cdtype)
-            y = y.at[:, ib].set(y_ib)
-            y = y.at[:, 0].set(x00)                           # mvdr.cpp:76
+            if contig:
+                # contiguous band: build y by concatenation (a scatter
+                # would re-materialize the whole (T, NB) plane)
+                zl = jnp.zeros((t, i0 - 1), dtype=self.cdtype)
+                zr = jnp.zeros((t, nb - i1), dtype=self.cdtype)
+                y = jnp.concatenate([x00[:, None], zl, y_ib, zr], axis=1)
+            else:
+                y = jnp.zeros((t, nb), dtype=self.cdtype)
+                y = y.at[:, ib].set(y_ib)
+                y = y.at[:, 0].set(x00)                       # mvdr.cpp:76
             out, prev = common.istft_ext_carry(y, self.engine, self.window,
                                                carry.out_prev)
             return out * p.out_amp, (common.WolaCarry(tail, prev), hist)
