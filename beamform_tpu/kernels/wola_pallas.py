@@ -6,12 +6,14 @@ its stage-2 matmul contracts only N2 = nfft/128 elements — a [F*128, N2] @
 plus separate framing / windowing / twiddle passes. These kernels fuse the
 whole WOLA boundary:
 
-analysis (``rfft_frames_pallas``):
-  windowed stride-layout frames -> stage-1 128-point DFT as ONE MXU dot
-  per frame block (k1 lands on lanes), twiddle, stage-2 N2-point DFT as
-  unrolled VPU constant-MACs in VMEM (zero/unit twiddles skipped), plus the
-  energy-gate magnitude (mean |X| / (M * nfft), mvdr.cpp:79-82) reduced
-  in-register — one HBM read of the frames, one write of the spectra.
+analysis (``rfft_hops_pallas``):
+  NON-overlapping stride-layout hops -> frame assembly by contracting the
+  previous/current hop halves against the split stage-1 DFT matrix (two
+  MXU dots; the sqrt-Hann window halves are folded into per-half kernel
+  constants), twiddle, stage-2 N2-point DFT as unrolled VPU constant-MACs
+  in VMEM (zero/unit twiddles skipped), plus the energy-gate magnitude
+  (mean |X| / (M * nfft), mvdr.cpp:79-82) reduced in-register — each hop
+  is read once (no 50%-overlap duplication), one write of the spectra.
 
   The natural K2MAX*128-bin output is the full-DFT prefix, so the extended
   layout's shadow bin (conj(X[h-1]) at h+1 — see models/common.py) is
