@@ -252,129 +252,153 @@ def _inv_consts(nfft: int):
 
 def _inv_kernel(yr_ref, yi_ref, twr_ref, twi_ref, wbr_ref, wbi_ref,
                 win_ref, out_ref, prev_out_ref, prev_ref,
-                *, n2: int, nfft: int, fb: int, hop_lanes: int,
-                t_real: int):
-    step = pl.program_id(0)
+                *, n2: int, fb: int, cg: int, t_real: int):
+    tstep = pl.program_id(1)
 
-    @pl.when(step == 0)
+    @pl.when(tstep == 0)
     def _():
         prev_ref[:] = jnp.zeros(prev_ref.shape, jnp.float32)
 
     for f in range(fb):
-        # stage A: Z[n2', k1] = sum_k2 Y[k2, k1] WA[k2, n2']
-        yr = yr_ref[f]                                      # (n2, 128)
-        yi = yi_ref[f]
+        # stage A: Z[c, n2', k1] = sum_k2 Y[c, k2, k1] WA[k2, n2'] — all
+        # channels of the group advance together, one (cg, 1, 128) MAC per
+        # (n2', k2) term
+        yr = yr_ref[:, f]                                   # (cg, n2, 128)
+        yi = yi_ref[:, f]
         zr_rows = []
         zi_rows = []
         for a in range(n2):
-            acc_r = jnp.zeros((1, 128), jnp.float32)
-            acc_i = jnp.zeros((1, 128), jnp.float32)
+            acc_r = jnp.zeros((cg, 1, 128), jnp.float32)
+            acc_i = jnp.zeros((cg, 1, 128), jnp.float32)
             for c in range(n2):
                 w = np.exp(2j * np.pi * (a * c) / n2)
-                wr = float(np.float32(w.real))
-                wi = float(np.float32(w.imag))
-                acc_r, acc_i = _acc_term(acc_r, acc_i, yr[c:c + 1],
-                                         yi[c:c + 1], wr, wi)
+                acc_r, acc_i = _acc_term(acc_r, acc_i, yr[:, c:c + 1],
+                                         yi[:, c:c + 1],
+                                         float(np.float32(w.real)),
+                                         float(np.float32(w.imag)))
             zr_rows.append(acc_r)
             zi_rows.append(acc_i)
-        zr = jnp.concatenate(zr_rows, axis=0)               # (n2, 128)
-        zi = jnp.concatenate(zi_rows, axis=0)
+        zr = jnp.concatenate(zr_rows, axis=1)               # (cg, n2, 128)
+        zi = jnp.concatenate(zi_rows, axis=1)
         gr = zr * twr_ref[:] - zi * twi_ref[:]
         gi = zr * twi_ref[:] + zi * twr_ref[:]
         # stage B: x[N2*n1' + n2'] = Re sum_k1 G[n2', k1] WB[k1, n1']
-        xr = (jax.lax.dot(gr, wbr_ref[:], precision=_HP,
+        xr = (jax.lax.dot(gr.reshape(cg * n2, 128), wbr_ref[:],
+                          precision=_HP,
                           preferred_element_type=jnp.float32)
-              - jax.lax.dot(gi, wbi_ref[:], precision=_HP,
-                            preferred_element_type=jnp.float32))
-        p = xr * win_ref[:]                                 # (n2, 128)
+              - jax.lax.dot(gi.reshape(cg * n2, 128), wbi_ref[:],
+                            precision=_HP,
+                            preferred_element_type=jnp.float32)
+              ).reshape(cg, n2, 128)
+        p = xr * win_ref[:]                                 # (cg, n2, 128)
         # 50% overlap-add in stride layout: first half = lanes < 64
-        out_ref[f] = p[:, :hop_lanes] + prev_ref[:]
-        prev_ref[:] = p[:, hop_lanes:]
+        out_ref[:, f] = p[:, :, :64] + prev_ref[:]
+        prev_ref[:] = p[:, :, 64:]
 
         # the carry OUT is frame t_real-1's second half, written before the
         # zero-padded tail frames can clobber it
-        @pl.when(step * fb + f == t_real - 1)
+        @pl.when(tstep * fb + f == t_real - 1)
         def _():
             prev_out_ref[:] = prev_ref[:]
 
 
-def irfft_ola_pallas(y_full_r, y_full_i, window, out_prev, nfft: int,
-                     interpret: bool = False,
-                     frames_per_step: int = FRAMES_PER_STEP):
-    """Inverse DFT + synthesis window + 50% overlap-add.
+MAX_SYNTH_CHANNELS_PER_BLOCK = 8
 
-    y_full_r/i: (T, N2, 128) Hermitian-expanded full spectra in the
-    [k2 rows, k1 lanes] layout. window: (nfft,). out_prev: (hop,) carry.
-    Returns (out (T*hop,), new_out_prev (hop,)).
+
+def irfft_ola_batch_pallas(y_full_r, y_full_i, window, out_prev, nfft: int,
+                           interpret: bool = False,
+                           frames_per_step: int = FRAMES_PER_STEP):
+    """Batched inverse DFT + synthesis window + 50% overlap-add.
+
+    y_full_r/i: (C, T, N2, 128) Hermitian-expanded full spectra in the
+    [k2 rows, k1 lanes] layout; out_prev (C, hop) per-channel OLA carries.
+    Channels ride a second (major) grid dimension with the time axis minor,
+    so each channel group's carry marches frames in order in VMEM scratch.
+    Returns (out (C, T*hop), new_out_prev (C, hop)).
     """
-    t = y_full_r.shape[0]
+    cc, t = y_full_r.shape[:2]
     fb = frames_per_step
     tp = -(-t // fb) * fb
-    wa, twr, twi, wbr, wbi, n2 = _inv_consts(nfft)
+    cg = min(MAX_SYNTH_CHANNELS_PER_BLOCK, cc)
+    cp = -(-cc // cg) * cg
+    _, twr, twi, wbr, wbi, n2 = _inv_consts(nfft)
     hop = nfft // 2
-    pad = ((0, tp - t), (0, 0), (0, 0))
+    pad = ((0, cp - cc), (0, tp - t), (0, 0), (0, 0))
     y_full_r = jnp.pad(y_full_r, pad)
     y_full_i = jnp.pad(y_full_i, pad)
     # stride-layout window and carry
     win_s = jnp.asarray(window, jnp.float32).reshape(128, n2).T  # (n2, 128)
-    prev_s = jnp.asarray(out_prev, jnp.float32).reshape(64, n2).T
+    prev_s = jnp.transpose(
+        jnp.asarray(out_prev, jnp.float32).reshape(cc, 64, n2), (0, 2, 1))
 
-    kernel = functools.partial(_inv_kernel, n2=n2, nfft=nfft, fb=fb,
-                               hop_lanes=64, t_real=t)
-    const = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+    kernel = functools.partial(_inv_kernel, n2=n2, fb=fb, cg=cg, t_real=t)
+    const = lambda shape: pl.BlockSpec(shape, lambda c, i: (0,) * len(shape),
                                        memory_space=pltpu.VMEM)
+    y_spec = pl.BlockSpec((cg, fb, n2, 128), lambda c, i: (c, i, 0, 0),
+                          memory_space=pltpu.VMEM)
     out, prev_out = pl.pallas_call(
         kernel,
-        grid=(tp // fb,),
+        grid=(cp // cg, tp // fb),
         in_specs=[
-            pl.BlockSpec((fb, n2, 128), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((fb, n2, 128), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            y_spec, y_spec,
             const((n2, 128)), const((n2, 128)),
             const((128, 128)), const((128, 128)),
             const((n2, 128)),
         ],
         out_specs=[
-            pl.BlockSpec((fb, n2, 64), lambda i: (i, 0, 0),
+            pl.BlockSpec((cg, fb, n2, 64), lambda c, i: (c, i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n2, 64), lambda i: (0, 0),
+            pl.BlockSpec((cg, n2, 64), lambda c, i: (c, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((tp, n2, 64), jnp.float32),
-            jax.ShapeDtypeStruct((n2, 64), jnp.float32),
+            jax.ShapeDtypeStruct((cp, tp, n2, 64), jnp.float32),
+            jax.ShapeDtypeStruct((cp, n2, 64), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((n2, 64), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((cg, n2, 64), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=32 * 1024 * 1024),
         interpret=interpret,
     )(y_full_r, y_full_i, jnp.asarray(twr), jnp.asarray(twi),
       jnp.asarray(wbr), jnp.asarray(wbi), jnp.asarray(win_s))
-    # ...but the initial carry must be folded in outside: frame 0's first
-    # half adds out_prev (the kernel starts from a zero carry)
-    out = out[:t]
-    out = out.at[0].add(prev_s)
+    # the initial carry folds in outside: frame 0's first half adds
+    # out_prev (the kernel starts each channel from a zero carry)
+    out = out[:cc, :t]
+    out = out.at[:, 0].add(prev_s)
     # de-stride: [n2 rows, n1 lanes] -> samples N2*n1 + n2
-    stream = jnp.transpose(out, (0, 2, 1)).reshape(t * hop)
-    new_prev = jnp.transpose(prev_out, (1, 0)).reshape(hop)
+    stream = jnp.transpose(out, (0, 1, 3, 2)).reshape(cc, t * hop)
+    new_prev = jnp.transpose(prev_out[:cc], (0, 2, 1)).reshape(cc, hop)
     return stream, new_prev
+
+
+def irfft_ola_pallas(y_full_r, y_full_i, window, out_prev, nfft: int,
+                     interpret: bool = False,
+                     frames_per_step: int = FRAMES_PER_STEP):
+    """Single-stream wrapper over :func:`irfft_ola_batch_pallas`."""
+    out, prev = irfft_ola_batch_pallas(
+        y_full_r[None], y_full_i[None], window, out_prev[None], nfft,
+        interpret=interpret, frames_per_step=frames_per_step)
+    return out[0], prev[0]
 
 
 def istft_ext_fused(y_ext, engine, window, out_prev,
                     interpret: bool = False):
     """Streaming fused synthesis from extended-layout spectra.
 
-    y_ext (T, NB) complex -> ((T*hop,), new out_prev). The Hermitian fold
-    (models/common.py fold_ext) and mirror expansion run in XLA (cheap,
-    single-stream); the inverse DFT + window + overlap-add run fused.
+    y_ext (T, NB) or (C, T, NB) complex with matching out_prev (hop,) or
+    (C, hop). The Hermitian fold (models/common.py fold_ext) and mirror
+    expansion run in XLA (cheap); the inverse DFT + window + overlap-add
+    run fused, channel-batched when C is present.
     """
     from beamform_tpu.models.common import fold_ext
     nfft = engine.fft_win
     h = nfft // 2
-    y_r = fold_ext(y_ext, nfft)                            # (T, h+1)
+    y_r = fold_ext(y_ext, nfft)                            # (..., h+1)
     full = jnp.concatenate(
-        [y_r, jnp.conj(y_r[:, h - 1:0:-1])], axis=-1)      # (T, nfft)
-    yf = full.reshape(y_ext.shape[0], nfft // 128, 128)
-    return irfft_ola_pallas(yf.real, yf.imag, window, out_prev, nfft,
-                            interpret=interpret)
+        [y_r, jnp.conj(y_r[..., h - 1:0:-1])], axis=-1)    # (..., nfft)
+    yf = full.reshape(full.shape[:-1] + (nfft // 128, 128))
+    if y_ext.ndim == 2:
+        return irfft_ola_pallas(yf.real, yf.imag, window, out_prev, nfft,
+                                interpret=interpret)
+    return irfft_ola_batch_pallas(yf.real, yf.imag, window, out_prev, nfft,
+                                  interpret=interpret)

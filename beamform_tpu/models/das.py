@@ -72,6 +72,57 @@ class DasModel(BatchableModel):
                                            carry.out_prev)
         return out, common.WolaCarry(tail, prev)
 
+    def _forward_batched(self, x, thetas, idx, carry):
+        """Multi-stream forward without vmapping the pallas analysis: the
+        (B, M) channels flatten through the WOLA kernels (a vmapped
+        pallas_call lowers but serializes poorly), steering applies per
+        (stream, frame), and the channel-batched synthesis kernel carries
+        one OLA state per stream."""
+        if not common.use_wola_kernels(self.engine):
+            return jax.vmap(self._forward,
+                            in_axes=(0, None, 0, 0))(x, thetas, idx, carry)
+        from beamform_tpu.kernels.wola_pallas import (
+            istft_ext_fused, stft_planes)
+        b, m, s_len = x.shape
+        hop = self.engine.hop
+        t = s_len // hop
+        xf = x.reshape(b * m, s_len)
+        tailf = carry.tail.reshape(b * m, hop)
+        sr, si, _, tailf2 = stft_planes(xf, tailf, self.window, self.engine,
+                                        with_mag=False)
+        nb = common.num_bins(self.engine)
+        spec = jax.lax.complex(sr[..., :nb], si[..., :nb])  # (T, B*M, NB)
+        spec = jnp.moveaxis(spec.reshape(t, b, m, nb), 1, 0)
+        w_uniq = common.weights_for_thetas(self.geom, self.freqs, thetas,
+                                           self.rdtype, self.cdtype)
+        # idx (B,) = one steering per stream (the common serving shape):
+        # the (B, 1, M, NB) weights broadcast inside the multiply fusion —
+        # a per-(stream, frame) gather would materialize GBs
+        w = w_uniq[idx][:, None] if idx.ndim == 1 else w_uniq[idx]
+        y = jnp.sum(jnp.conj(w) * spec, axis=2) / m        # (B, T, NB)
+        out, prev = istft_ext_fused(y, self.engine, self.window,
+                                    carry.out_prev)
+        return out, common.WolaCarry(tailf2.reshape(b, m, hop), prev)
+
+    def batched_forward(self, x, ctrl, state):
+        """Natively batched override (see _forward_batched). Constant
+        per-stream steering (detected host-side) collapses the per-frame
+        index to (B,)."""
+        import numpy as _np
+        uniq, idx = ctrl
+        idx_np = _np.asarray(idx)
+        if idx_np.ndim == 2 and (idx_np == idx_np[:, :1]).all() \
+                and common.use_wola_kernels(self.engine):
+            idx = idx_np[:, 0]
+            key = "_batched_fn_const"
+        else:
+            key = "_batched_fn"
+        fn = self.__dict__.get(key)
+        if fn is None:
+            fn = jax.jit(self._forward_batched)
+            self.__dict__[key] = fn
+        return fn(x, uniq, idx, state)
+
     def process_chunk(self, x_chunk, theta, state):
         """Streaming step: (M, C*hop) in, ((C*hop,) out, new state)."""
         x = jnp.asarray(x_chunk, dtype=self.rdtype)

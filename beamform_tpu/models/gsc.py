@@ -154,13 +154,23 @@ class GscModel(BatchableModel):
     def batched_forward(self, x, ctrl, state):
         """Natively batched override of the BatchableModel default: a vmap
         over the Pallas kernel would be incorrect (its grid axis 0 is the
-        chunk axis), so the batch rides the kernel's own stream axis."""
+        chunk axis), so the batch rides the kernel's own stream axis.
+        Constant per-stream steering (detected host-side) collapses the
+        per-frame weight gather to a broadcast."""
         import jax as _jax
-        fn = self.__dict__.get("_batched_fn")
+        import numpy as _np
+        uniq, idx = ctrl
+        idx_np = _np.asarray(idx)
+        if idx_np.ndim == 2 and (idx_np == idx_np[:, :1]).all():
+            idx = idx_np[:, 0]
+            key = "_batched_fn_const"
+        else:
+            key = "_batched_fn"
+        fn = self.__dict__.get(key)
         if fn is None:
             fn = _jax.jit(self._forward_batched)
-            self._batched_fn = fn
-        return fn(x, *ctrl, state)
+            self.__dict__[key] = fn
+        return fn(x, uniq, idx, state)
 
     def _aligned_streams_batched(self, x, thetas, w_idx, carry):
         """Stage 1 for B streams without vmapping: the (B, M) channels
@@ -178,8 +188,17 @@ class GscModel(BatchableModel):
         spec = jnp.moveaxis(x_spec.reshape(t, b, m, -1), 1, 0)  # (B,T,M,NB)
         w_uniq = common.weights_for_thetas(self.geom, self.freqs, thetas,
                                            self.rdtype, self.cdtype)
-        w = w_uniq[w_idx]                          # (B, T, M, NB)
+        # (B,) index = constant steering per stream: broadcast in-fusion
+        w = w_uniq[w_idx][:, None] if w_idx.ndim == 1 else w_uniq[w_idx]
         aligned_spec = spec * jnp.conj(w)          # gsc.cpp:62-65
+        if common.use_wola_kernels(self.engine):
+            from beamform_tpu.kernels.wola_pallas import istft_ext_fused
+            ych = jnp.moveaxis(aligned_spec, 2, 1).reshape(b * m, t, -1)
+            streams, prevf = istft_ext_fused(
+                ych, self.engine, self.window,
+                carry.out_prev.reshape(b * m, hop))
+            return (streams.reshape(b, m, -1),
+                    common.WolaCarry(new_tail, prevf.reshape(b, m, hop)))
         y = common.synth_frames_ext(aligned_spec, self.engine)  # (B,T,M,N)
         y = y * self.window
         y = jnp.moveaxis(y, 2, 1)                  # (B, M, T, N)

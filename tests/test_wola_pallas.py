@@ -119,3 +119,30 @@ def test_stft_planes_wide_channel_chunking():
     got = np.asarray(sr)[:, :, :nb] + 1j * np.asarray(si)[:, :, :nb]
     scale = np.abs(np.asarray(ref)).max()
     assert np.abs(got - np.asarray(ref)).max() / scale < 1e-5
+
+
+def test_istft_fused_batched_matches_per_stream():
+    """Channel-batched synthesis == per-stream synthesis (each channel has
+    its own OLA carry marching the minor grid axis)."""
+    engine = _engine()
+    c, t = 5, 9
+    rng = np.random.default_rng(11)
+    nb = engine.fft_win // 2 + 2
+    y = (rng.standard_normal((c, t, nb))
+         + 1j * rng.standard_normal((c, t, nb))).astype(np.complex64)
+    prev = rng.standard_normal((c, HOP)).astype(np.float32)
+    window = common.make_window(engine, jnp.float32)
+
+    outb, prevb = jax.jit(
+        lambda yy, pp: istft_ext_fused(yy, engine, window, pp,
+                                       interpret=True)
+    )(jnp.asarray(y), jnp.asarray(prev))
+    for i in range(c):
+        oi, pi = jax.jit(
+            lambda yy, pp: istft_ext_fused(yy, engine, window, pp,
+                                           interpret=True)
+        )(jnp.asarray(y[i]), jnp.asarray(prev[i]))
+        np.testing.assert_allclose(np.asarray(outb[i]), np.asarray(oi),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(prevb[i]), np.asarray(pi),
+                                   atol=1e-6)
