@@ -37,11 +37,16 @@ class BatchableModel:
         latency; re-shipping identical per-chunk control arrays (theta
         indices, steering uniques, state zeros) every call dominated the
         serving path for the fast models. JAX arrays are immutable, so
-        reusing them across calls is safe."""
-        cache = self.__dict__.setdefault("_ctrl_cache", {})
-        if key not in cache:
+        reusing them across calls is safe. LRU eviction: a steering sweep
+        cycling through more than 16 control keys must not thrash the whole
+        cache each revolution."""
+        from collections import OrderedDict
+        cache = self.__dict__.setdefault("_ctrl_cache", OrderedDict())
+        if key in cache:
+            cache.move_to_end(key)
+        else:
             if len(cache) >= 16:
-                cache.clear()
+                cache.popitem(last=False)
             cache[key] = builder()
         return cache[key]
 

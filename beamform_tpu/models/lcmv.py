@@ -150,15 +150,12 @@ class LcmvModel(BatchableConstrainedModel):
 
     def _use_stream(self) -> bool:
         """See MvdrModel._use_stream — same strategy selection for the
-        fused streaming constraint solve (kernels/lcmv_stream.py)."""
-        if self.params.solver in ("stream", "sparse"):
-            if self.cdtype != jnp.complex64:
-                raise ValueError("the stream solver is a float32 strategy; "
-                                 "use solver='dense' with float64")
-            return True
-        if self.params.solver == "dense":
-            return False
-        return common.on_tpu_device() and self.cdtype == jnp.complex64
+        fused streaming constraint solve (kernels/lcmv_stream.py), with
+        the constraint planes counted against the VMEM scratch budget."""
+        from beamform_tpu.models.mvdr import select_solver_strategy
+        return select_solver_strategy(self.params.solver, self.cdtype,
+                                      self.geom.num_mics, len(self.ib),
+                                      s_cap=len(self.interf) + 1)
 
     def _forward_stream(self, x, u_theta, u_angles, u_active, u_row0, idx,
                         state):

@@ -35,6 +35,64 @@ def white_r(m: int, rdtype):
             + 0.001 * jnp.eye(m, dtype=rdtype))
 
 
+#: VMEM headroom for the fused stream kernels' scratch: the pallas_call cap
+#: is 24 MB and the frame/constraint input blocks need the rest.
+_STREAM_VMEM_BUDGET = 18 * 1024 * 1024
+
+
+def stream_solver_fits(m: int, nib: int, s_cap: int = 0) -> bool:
+    """Whether the fused streaming solver's VMEM scratch fits on-core.
+
+    The kernel holds 8 (M, M, NIBP) f32 scratch planes plus a (M, 1, NIBP)
+    vector (mvdr_stream.py scratch_shapes; LCMV adds 2 (S, M, NIBP)
+    constraint planes), and the fused analysis path blocks at most
+    ``wola_pallas.MAX_CHANNELS_PER_BLOCK`` channels — arrays beyond either
+    limit must run the dense path.
+    """
+    from beamform_tpu.kernels.wola_pallas import MAX_CHANNELS_PER_BLOCK
+    if m > MAX_CHANNELS_PER_BLOCK:
+        return False
+    nibp = -(-max(nib, 1) // 128) * 128
+    scratch = (8 * m * m + m + 2 * s_cap * m) * nibp * 4
+    return scratch <= _STREAM_VMEM_BUDGET
+
+
+def select_solver_strategy(solver: str, cdtype, m: int, nib: int,
+                           s_cap: int = 0) -> bool:
+    """Shared MVDR/LCMV solver-strategy policy: returns True for the fused
+    stream kernel, False for the dense block pipeline.
+
+    "auto" picks stream only on a TPU float32 engine whose scratch fits
+    (stream_solver_fits); forcing "stream" past the capacity limits raises
+    instead of failing deep inside Mosaic. Legacy "sparse" on a float64
+    engine used to run the gated-dense path — it maps to dense with a
+    deprecation warning rather than breaking pinned configs.
+    """
+    fits = stream_solver_fits(m, nib, s_cap)
+    if solver == "sparse" and cdtype != jnp.complex64:
+        import warnings
+        warnings.warn(
+            "solver='sparse' with float64 is deprecated: the gated-sparse "
+            "path was replaced by the float32 stream kernel; running the "
+            "dense solver", DeprecationWarning, stacklevel=3)
+        return False
+    if solver in ("stream", "sparse"):
+        if cdtype != jnp.complex64:
+            raise ValueError("the stream solver is a float32 strategy; "
+                             "use solver='dense' with float64")
+        if not fits:
+            raise ValueError(
+                f"solver='stream' exceeds the fused kernel's on-core "
+                f"capacity ({m} mics x {nib} in-band bins; "
+                f"channel cap 32, VMEM scratch budget "
+                f"{_STREAM_VMEM_BUDGET >> 20} MB) — use solver='dense'")
+        return True
+    if solver == "dense":
+        return False
+    from beamform_tpu.models.common import on_tpu_device
+    return on_tpu_device() and cdtype == jnp.complex64 and fits
+
+
 def batched_inv(a, polish: bool = True, pallas_min_batch: int = 2048):
     """Batched complex matrix inverse (replaces Eigen .inverse()).
 
@@ -119,17 +177,12 @@ class MvdrModel(BatchableModel):
     def _use_stream(self) -> bool:
         """The fused streaming Pallas solve (kernels/mvdr_stream.py) is the
         TPU float32 production path; ``solver`` picks the strategy:
-        "auto" = stream on TPU float32, dense elsewhere; "dense" forces the
-        block-scan pipeline; "stream"/"sparse" force the kernel (in
-        interpret mode off-TPU — the test hook)."""
-        if self.params.solver in ("stream", "sparse"):
-            if self.cdtype != jnp.complex64:
-                raise ValueError("the stream solver is a float32 strategy; "
-                                 "use solver='dense' with float64")
-            return True
-        if self.params.solver == "dense":
-            return False
-        return common.on_tpu_device() and self.cdtype == jnp.complex64
+        "auto" = stream on TPU float32 when the kernel's on-core capacity
+        allows (see select_solver_strategy), dense elsewhere; "dense"
+        forces the block-scan pipeline; "stream"/"sparse" force the kernel
+        (in interpret mode off-TPU — the test hook)."""
+        return select_solver_strategy(self.params.solver, self.cdtype,
+                                      self.geom.num_mics, len(self.ib))
 
     def _forward_stream(self, x, thetas, w_idx, state):
         """Fused-kernel path: the per-frame sliding covariance, Cholesky

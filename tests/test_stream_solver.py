@@ -75,6 +75,79 @@ def test_stream_rejects_float64():
         model.process(x, 20.0)
 
 
+def _ring_cfg(m):
+    from beamform_tpu.config import parse_array_config
+    ang = np.linspace(0, 2 * np.pi, m, endpoint=False)
+    return parse_array_config(
+        {f"mic{i}": {"id": i, "x": 0.05 * np.cos(a), "y": 0.05 * np.sin(a)}
+         for i, a in enumerate(ang)})
+
+
+def test_auto_falls_back_to_dense_beyond_kernel_capacity():
+    """solver='auto' must not trace the stream kernel past its on-core
+    limits: >32 mics (the analysis channel cap) or a VMEM-overflowing
+    (mics, in-band bins) scratch both select the dense path."""
+    engine = EngineConfig(sample_rate=48000, window_size=HOP,
+                          dtype="float32")
+    big = get_model("mvdr", engine, _ring_cfg(40), dict(BASE))
+    assert not big._use_stream()
+
+    # m=32 fits the channel cap but 8x(32,32,NIBP) f32 scratch overflows
+    # the VMEM budget once the in-band bin count pads past ~512
+    wide_engine = EngineConfig(sample_rate=48000, window_size=1024,
+                               dtype="float32")
+    wide = get_model("mvdr", wide_engine, _ring_cfg(32), dict(BASE))
+    assert not wide._use_stream()
+
+    small = get_model("mvdr", engine, cfg3(), dict(BASE, solver="stream"))
+    assert small._use_stream()
+
+
+def test_forced_stream_beyond_capacity_raises():
+    engine = EngineConfig(sample_rate=48000, window_size=HOP,
+                          dtype="float32")
+    for name in ("mvdr", "lcmv"):
+        model = get_model(name, engine, _ring_cfg(40),
+                          dict(BASE, solver="stream"))
+        with pytest.raises(ValueError, match="capacity"):
+            model._use_stream()
+
+
+def test_legacy_sparse_float64_maps_to_dense():
+    """solver='sparse' on a float64 engine ran the gated-sparse path before
+    round 2; it now deprecation-maps to dense instead of raising, so pinned
+    configs keep working."""
+    engine = EngineConfig(sample_rate=48000, window_size=HOP,
+                          dtype="float64")
+    x = make_scene(AIRA3, seconds=0.1, quiet_hops=4, hop=HOP)
+    for name in ("mvdr", "lcmv"):
+        sparse = get_model(name, engine, cfg3(),
+                           dict(BASE, solver="sparse"))
+        dense = get_model(name, engine, cfg3(), dict(BASE, solver="dense"))
+        with pytest.warns(DeprecationWarning):
+            assert not sparse._use_stream()
+        y_s = np.asarray(sparse.process(x, 20.0))
+        y_d = np.asarray(dense.process(x, 20.0))
+        np.testing.assert_allclose(y_s, y_d)
+
+
+def test_control_cache_is_lru():
+    """Overflowing the control cache evicts only the least-recently-used
+    entry — a 17th key must not wipe the 16 hot ones (the old clear()-at-
+    capacity behavior re-uploaded every control array after overflow)."""
+    engine = EngineConfig(sample_rate=48000, window_size=HOP,
+                          dtype="float32")
+    model = get_model("mvdr", engine, cfg3(), dict(BASE, solver="dense"))
+    builds = []
+    for k in range(16):
+        model._cached(("k", k), lambda k=k: builds.append(k) or k)
+    model._cached(("k", 0), lambda: builds.append("rebuild-0"))  # refresh 0
+    model._cached(("k", 16), lambda: builds.append(16) or 16)    # evicts 1
+    for k in [0] + list(range(2, 17)):
+        model._cached(("k", k), lambda k=k: builds.append(("miss", k)))
+    assert builds == list(range(16)) + [16], builds
+
+
 def test_lcmv_stream_with_interference_timeline():
     """Constraint slots (add/remove via the masked timeline) flow through
     the stream kernel and match the dense path."""
