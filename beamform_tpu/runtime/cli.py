@@ -119,7 +119,16 @@ def build_parser():
                    help="live steering side channel (the /theta topic, "
                         "das.cpp:94-99): a file polled at every chunk "
                         "boundary whose last line is the new angle in "
-                        "degrees; works in --live and --stream modes")
+                        "degrees; works in --live and --stream modes. "
+                        "Takes precedence over --theta-timeline from the "
+                        "first chunk where the file provides an angle")
+    p.add_argument("--interf-control", default=None, metavar="PATH",
+                   help="lcmv/gss live interference side channel (the "
+                        "/theta_interference topic, lcmv.cpp:258-309): a "
+                        "file polled at every chunk boundary; each appended "
+                        "'id:angle' line is one InterfTheta message "
+                        "(add/move/remove semantics); works in --live and "
+                        "--stream modes")
     p.add_argument("--consumer-lead", type=int, default=0, metavar="N",
                    help="write node: audio callbacks that fire before the "
                         "first message arrives (each plays one window of "
@@ -175,10 +184,12 @@ def _node_params(args) -> dict:
     return params
 
 
-def _poll_theta(path: str, current: float) -> float:
+def _read_theta(path: str):
     """Live /theta side channel: the last non-empty line of ``path`` is the
-    steering angle in degrees (theta_roscallback, das.cpp:94-99). Unreadable
-    or unparsable content keeps the current angle."""
+    steering angle in degrees (theta_roscallback, das.cpp:94-99). Returns
+    None when the file is absent, empty or unparsable — callers keep their
+    current angle (and --theta-timeline keeps driving until the control
+    file first provides a value)."""
     try:
         with open(path) as f:
             lines = [ln.strip() for ln in f.read().splitlines() if ln.strip()]
@@ -186,7 +197,45 @@ def _poll_theta(path: str, current: float) -> float:
             return float(lines[-1])
     except (OSError, ValueError):
         pass
-    return current
+    return None
+
+
+def _poll_theta(path: str, current: float) -> float:
+    v = _read_theta(path)
+    return current if v is None else v
+
+
+class _InterfControlFile:
+    """Live /theta_interference side channel: a file where each appended
+    ``id:angle`` line is one InterfTheta message. Polled at chunk
+    boundaries; lines already consumed are skipped (the file is
+    append-only, like a topic log). Malformed lines are ignored with a
+    warning, consuming them."""
+
+    def __init__(self, path: str, machine):
+        self.path = path
+        self.machine = machine            # runtime.timeline.InterferenceMachine
+        self._consumed = 0
+
+    def poll(self) -> bool:
+        """Apply newly appended messages; True when any triggered
+        update_weights (the GSS demix-reset signal)."""
+        try:
+            with open(self.path) as f:
+                lines = [ln.strip() for ln in f.read().splitlines()
+                         if ln.strip()]
+        except OSError:
+            return False
+        new, self._consumed = lines[self._consumed:], len(lines)
+        any_reset = False
+        for ln in new:
+            try:
+                iid, ang = ln.split(":")
+                any_reset |= self.machine.apply(int(iid), float(ang))
+            except ValueError:
+                print(f"warning: ignoring malformed interference-control "
+                      f"line {ln!r} (want 'id:angle')", file=sys.stderr)
+        return any_reset
 
 
 def run_write(args) -> int:
@@ -279,6 +328,22 @@ def run_live(args) -> int:
                           dtype=args.dtype)
     overrides = _node_params(args)
     model = get_model(args.node, engine, array_cfg, overrides)
+    interf_ctrl = None
+    if args.interf_control:
+        if args.node not in ("lcmv", "gss"):
+            print("error: --interf-control only applies to lcmv/gss",
+                  file=sys.stderr)
+            return 2
+        from beamform_tpu.runtime.timeline import (
+            InterferenceMachine, MAX_INTERFERENCES)
+        thresh = overrides.get("interf_angle_threshold", 5.0)
+        interf_ctrl = _InterfControlFile(
+            args.interf_control,
+            InterferenceMachine(list(array_cfg.interference_angles),
+                                threshold=float(thresh),
+                                capacity=MAX_INTERFERENCES))
+        if hasattr(model, "capacity"):
+            model.capacity = MAX_INTERFERENCES    # gss demix slots
     sess = StreamingSession(model, monitor=True)
     if args.load_state:
         sess.load(args.load_state)
@@ -334,8 +399,14 @@ def run_live(args) -> int:
         return dropped
 
     # warm up the compiled step before real audio arrives; don't let the
-    # compile count as an xrun
-    sess.process(np.zeros((channels, chunk), dtype=np.float32), theta)
+    # compile count as an xrun (with the interference control arrays in the
+    # signature when the side channel is on, so the first message doesn't
+    # trigger a mid-stream recompile)
+    warm_kw = {}
+    if interf_ctrl is not None:
+        warm_kw["interference"] = interf_ctrl.machine.rows(args.live_chunk)
+    sess.process(np.zeros((channels, chunk), dtype=np.float32), theta,
+                 **warm_kw)
     sess.state = sess.model.stream_init()
     sess.frames_done = 0
     from beamform_tpu.utils.profiling import RealTimeMonitor
@@ -349,12 +420,18 @@ def run_live(args) -> int:
             break
         if args.theta_control:    # the /theta topic, polled per chunk
             theta = _poll_theta(args.theta_control, theta)
+        chunk_kw = {}
+        if interf_ctrl is not None:   # the /theta_interference topic
+            reset = interf_ctrl.poll()
+            chunk_kw["interference"] = interf_ctrl.machine.rows(
+                args.live_chunk, reset_first=reset)
         n = len(raw) // frame_bytes
         block = np.frombuffer(raw[:n * frame_bytes], dtype="<f4")
         block = block.reshape(n, channels).T
         if n < chunk:
             block = np.pad(block, ((0, 0), (0, chunk - n)))
-        y = np.asarray(sess.process(block, theta), dtype=np.float32)[:n]
+        y = np.asarray(sess.process(block, theta, **chunk_kw),
+                       dtype=np.float32)[:n]
         stdout.write(y.astype("<f4").tobytes())
         if args.live_overrun == "drop":
             dropped = drain_backlog()
@@ -442,11 +519,39 @@ def main(argv=None) -> int:
             return 2
         kw["interference"] = interference
 
+    if args.interf_control:
+        if args.node not in ("lcmv", "gss"):
+            print("error: --interf-control only applies to lcmv/gss",
+                  file=sys.stderr)
+            return 2
+        if args.interference_events:
+            print("error: --interf-control and --interference-events are "
+                  "mutually exclusive (one live channel, one offline "
+                  "replay)", file=sys.stderr)
+            return 2
+        if not args.stream:
+            print("error: --interf-control needs --stream or --live "
+                  "(chunk boundaries are the polling points)",
+                  file=sys.stderr)
+            return 2
+
     t0 = time.perf_counter()
     monitor = None
     if args.stream:
         from beamform_tpu.runtime.streaming import StreamingSession
         from beamform_tpu.runtime.timeline import InterferenceTimeline
+        interf_ctrl = None
+        if args.interf_control:
+            from beamform_tpu.runtime.timeline import (
+                InterferenceMachine, MAX_INTERFERENCES)
+            thresh = overrides.get("interf_angle_threshold", 5.0)
+            interf_ctrl = _InterfControlFile(
+                args.interf_control,
+                InterferenceMachine(list(array_cfg.interference_angles),
+                                    threshold=float(thresh),
+                                    capacity=MAX_INTERFERENCES))
+            if hasattr(model, "capacity"):
+                model.capacity = MAX_INTERFERENCES    # gss demix slots
         if interference is not None and hasattr(model, "capacity"):
             # size the demixing state for the timeline's slot capacity
             # BEFORE stream_init runs (gss)
@@ -458,19 +563,32 @@ def main(argv=None) -> int:
         pad = (-x.shape[1]) % chunk
         xp = np.pad(x, ((0, 0), (0, pad)))
         outs = []
+        if args.theta_control and isinstance(theta, np.ndarray):
+            print("note: --theta-control overrides --theta-timeline from "
+                  "the first chunk where the control file provides an "
+                  "angle", file=sys.stderr)
+        live_theta = None
         for i in range(0, xp.shape[1], chunk):
-            if args.theta_control and not isinstance(theta, np.ndarray):
-                theta = _poll_theta(args.theta_control, float(theta))
+            if args.theta_control:   # the /theta topic, polled per chunk
+                v = _read_theta(args.theta_control)
+                if v is not None:
+                    live_theta = v
             f0 = i // engine.hop
             f1 = f0 + args.stream
-            if isinstance(theta, np.ndarray):
+            if live_theta is not None:
+                th = live_theta
+            elif isinstance(theta, np.ndarray):
                 th = theta[f0:min(f1, len(theta))]
                 if len(th) == 0:     # trailing padded chunk: theta holds
                     th = float(theta[-1])
             else:
                 th = theta
             tl_c = None
-            if interference is not None:
+            if interf_ctrl is not None:
+                reset = interf_ctrl.poll()
+                tl_c = interf_ctrl.machine.rows(args.stream,
+                                                reset_first=reset)
+            elif interference is not None:
                 tl = interference
 
                 def rows(a):

@@ -68,6 +68,66 @@ class InterferenceTimeline:
         return self.angles.shape[1]
 
 
+class InterferenceMachine:
+    """Incremental interf_theta_roscallback state machine
+    (lcmv.cpp:258-309, gss.cpp:288-339) — the live-control counterpart of
+    :func:`replay_interference_events`, which replays a full event list
+    through one of these. Apply messages as they arrive; read out dense
+    timeline rows per chunk."""
+
+    def __init__(self, initial_angles: Sequence[float], *,
+                 threshold: float = 5.0,
+                 capacity: int = MAX_INTERFERENCES,
+                 bug_row0_zero_after_realloc: bool = True):
+        self.cur: List[float] = list(initial_angles)
+        assert len(self.cur) <= capacity
+        self.threshold = float(threshold)
+        self.capacity = int(capacity)
+        self.row0_now = 1.0
+        self._bug_row0 = bug_row0_zero_after_realloc
+
+    def apply(self, id: int, angle: float) -> bool:
+        """One InterfTheta message; returns True when the reference would
+        have called update_weights (GSS resets its demixing state there)."""
+        k = len(self.cur)
+        if 1 <= id <= k:
+            self.cur[id - 1] = angle                     # move
+            removed = False
+            for i in range(len(self.cur)):
+                if i != id - 1 and abs(self.cur[i] - angle) < self.threshold:
+                    del self.cur[id - 1]                 # proximity removal
+                    removed = True
+                    break
+            if removed and self._bug_row0:
+                self.row0_now = 0.0
+            return True                                  # update_weights()
+        if id > k:
+            too_close = any(abs(a - angle) < self.threshold
+                            for a in self.cur)
+            if not too_close and len(self.cur) < self.capacity:
+                self.cur.append(angle)                   # add
+                if self._bug_row0:
+                    self.row0_now = 0.0
+                return True                              # update_weights()
+        # id < 1: invalid, ignored (lcmv.cpp:306-308)
+        return False
+
+    def rows(self, num_frames: int,
+             reset_first: bool = False) -> InterferenceTimeline:
+        """Dense rows holding the current state for ``num_frames`` frames;
+        ``reset_first`` marks frame 0 as an update_weights frame (a message
+        landed at this chunk boundary)."""
+        angles = np.zeros((num_frames, self.capacity), dtype=np.float64)
+        active = np.zeros((num_frames, self.capacity), dtype=bool)
+        angles[:, :len(self.cur)] = self.cur
+        active[:, :len(self.cur)] = True
+        row0 = np.full((num_frames,), self.row0_now, dtype=np.float64)
+        reset = np.zeros((num_frames,), dtype=bool)
+        if reset_first and num_frames:
+            reset[0] = True
+        return InterferenceTimeline(angles, active, row0, reset)
+
+
 def replay_interference_events(
         num_frames: int,
         initial_angles: Sequence[float],
@@ -83,38 +143,20 @@ def replay_interference_events(
     row0 = np.ones((num_frames,), dtype=np.float64)
     reset = np.zeros((num_frames,), dtype=bool)
 
-    cur: List[float] = list(initial_angles)
-    assert len(cur) <= capacity
-    row0_now = 1.0
+    sm = InterferenceMachine(
+        initial_angles, threshold=threshold, capacity=capacity,
+        bug_row0_zero_after_realloc=bug_row0_zero_after_realloc)
     ev_sorted = sorted(events, key=lambda e: e.frame)
     ei = 0
     for t in range(num_frames):
         while ei < len(ev_sorted) and ev_sorted[ei].frame <= t:
             e = ev_sorted[ei]
             ei += 1
-            k = len(cur)
-            if 1 <= e.id <= k:
-                cur[e.id - 1] = e.angle                 # move
-                removed = False
-                for i in range(len(cur)):
-                    if i != e.id - 1 and abs(cur[i] - e.angle) < threshold:
-                        del cur[e.id - 1]               # proximity removal
-                        removed = True
-                        break
-                if removed and bug_row0_zero_after_realloc:
-                    row0_now = 0.0
-                reset[t] = True                         # update_weights()
-            elif e.id > k:
-                too_close = any(abs(a - e.angle) < threshold for a in cur)
-                if not too_close and len(cur) < capacity:
-                    cur.append(e.angle)                 # add
-                    if bug_row0_zero_after_realloc:
-                        row0_now = 0.0
-                    reset[t] = True                     # update_weights()
-            # id < 1: invalid, ignored (lcmv.cpp:306-308)
-        angles[t, :len(cur)] = cur
-        active[t, :len(cur)] = True
-        row0[t] = row0_now
+            if sm.apply(e.id, e.angle):
+                reset[t] = True                          # update_weights()
+        angles[t, :len(sm.cur)] = sm.cur
+        active[t, :len(sm.cur)] = True
+        row0[t] = sm.row0_now
     return InterferenceTimeline(angles, active, row0, reset)
 
 
