@@ -123,6 +123,13 @@ def state_partition_specs(model, state, mesh: Mesh | None = None):
     bin_size = dict(zip(mesh.axis_names, mesh.devices.shape)).get(
         "bin", 1) if mesh is not None else 1
     shard_bins = nib and bin_size > 1 and nib % bin_size == 0
+    if nib and bin_size > 1 and not shard_bins:
+        import warnings
+        warnings.warn(
+            f"in-band bin count {nib} does not divide the mesh 'bin' axis "
+            f"({bin_size}); per-bin state will be REPLICATED, not sharded "
+            f"— adjust freq_min/freq_max for full tensor parallelism",
+            stacklevel=2)
 
     def spec_of(leaf):
         dims = [None] * leaf.ndim
@@ -146,6 +153,128 @@ def sharded_state_init(mesh: Mesh, model, batch: int):
         state, specs)
 
 
+def _broadcast_thetas(thetas, b: int, t: int):
+    th = np.asarray(thetas, dtype=np.float64)
+    if th.ndim == 0:
+        th = np.full((b, t), float(th))
+    elif th.ndim == 1:
+        th = np.repeat(th[:, None], t, axis=1)
+    return th
+
+
+def _sharded_stream_step(mesh: Mesh, model, x_batch, thetas, state):
+    """Batched MVDR/LCMV chunk with the FUSED STREAMING Pallas solver
+    sharded over the (stream, bin) mesh.
+
+    The solve is per-bin independent (mvdr.cpp:77-105), so a ``shard_map``
+    over the ``bin`` axis runs the kernel per shard on its local in-band
+    bins (each device marches its own sliding covariance + Cholesky in
+    VMEM); streams vmap inside each shard along the data-parallel axis.
+    Analysis/synthesis and the gate bookkeeping stay outside the shard_map
+    as ordinary sharded XLA ops. Per-lane kernel math is independent of
+    which bins share a block, so shard outputs equal the single-device
+    kernel bit-for-bit.
+    """
+    try:
+        from jax import shard_map
+    except ImportError:             # older JAX
+        from jax.experimental.shard_map import shard_map
+
+    p, engine = model.params, model.engine
+    rdtype, cdtype = model.rdtype, model.cdtype
+    w_hist = p.past_windows
+    ib = np.asarray(model.ib)
+    nib = len(ib)
+    bin_size = dict(zip(mesh.axis_names, mesh.devices.shape)).get("bin", 1)
+    if bin_size > 1 and nib % bin_size:
+        raise ValueError(
+            f"stream-solver sharding needs the in-band bin count ({nib}) "
+            f"divisible by the mesh 'bin' axis ({bin_size}); adjust "
+            f"freq_min/freq_max or use solver='dense'")
+
+    x = jnp.asarray(x_batch, dtype=rdtype)
+    b, t = x.shape[0], x.shape[-1] // engine.hop
+    th = _broadcast_thetas(thetas, b, t)
+    ctrl = model.batch_controls(th)
+    idx = jnp.asarray(ctrl[-1])                            # (B, T)
+
+    if model.name == "mvdr":
+        d_uniq = common.weights_for_thetas(
+            model.geom, model.freqs, jnp.asarray(ctrl[0]), rdtype,
+            cdtype)[:, :, ib]                              # (U, M, NIB)
+        d_spec = P(None, None, "bin")
+    else:                                                  # lcmv
+        u_th, u_ang, u_act, u_r0 = (jnp.asarray(c) for c in ctrl[:4])
+        c_uniq = model._constraints_traced(u_th, u_ang, u_act, u_r0)
+        d_uniq = jnp.moveaxis(c_uniq, (1, 2, 3), (3, 2, 1))  # (U,S,M,NIB)
+        d_spec = P(None, None, None, "bin")
+
+    interpret = not common.on_tpu_device()
+    window = model.window
+    carry, hist = state
+
+    def solve_shard(x_ext_l, d_l, idx_l, act_l):
+        """One (stream, bin) shard: vmap the per-stream kernel over the
+        local batch, on the local bin group."""
+        if model.name == "mvdr":
+            from beamform_tpu.kernels.mvdr_stream import mvdr_stream_pallas
+            def one(xe, ii, aa):
+                return mvdr_stream_pallas(xe, d_l, ii, aa, w_hist=w_hist,
+                                          interpret=interpret)
+        else:
+            from beamform_tpu.kernels.lcmv_stream import lcmv_stream_pallas
+            def one(xe, ii, aa):
+                return lcmv_stream_pallas(xe, d_l, None, ii, aa,
+                                          w_hist=w_hist,
+                                          interpret=interpret)
+        return jax.vmap(one)(x_ext_l, idx_l, act_l)
+
+    x_sh = NamedSharding(mesh, P("stream", None, None))
+    st_sh = jax.tree.map(lambda s: NamedSharding(mesh, s),
+                         state_partition_specs(model, state, mesh))
+    out_sh = NamedSharding(mesh, P("stream", None))
+    idx_sh = NamedSharding(mesh, P("stream", None))
+    d_sh = NamedSharding(mesh, d_spec)
+
+    @partial(jax.jit,
+             in_shardings=(x_sh, d_sh, idx_sh, st_sh),
+             out_shardings=(out_sh, st_sh))
+    def step(xb, d, idx_b, st):
+        (tail, out_prev), hist0 = st
+        x_spec, new_tail = jax.vmap(
+            lambda xx, tl: common.stft_ext_carry(xx, engine, window,
+                                                 cdtype, tl))(xb, tail)
+        mag = jax.vmap(
+            lambda s: common.mag_mean_over_mics(s, engine.fft_win))(x_spec)
+        x_ib = x_spec[:, :, :, ib]                         # (B, T, M, NIB)
+        gate = mag[:, :, ib] > p.freq_mag_threshold        # (B, T, NIB)
+        act = jnp.any(gate, axis=2)                        # (B, T)
+        x_ext = jnp.concatenate([hist0, x_ib], axis=1)     # (B, W+T, M, NIB)
+        x_ext = _constraint(x_ext, mesh, P("stream", None, None, "bin"))
+
+        y_k = shard_map(
+            solve_shard, mesh=mesh,
+            in_specs=(P("stream", None, None, "bin"), d_spec,
+                      P("stream", None), P("stream", None)),
+            out_specs=P("stream", None, "bin"),
+            # pallas_call can't declare varying-mesh-axes metadata
+            check_vma=False)(x_ext, d, idx_b, act)
+
+        y_ib = jnp.where(gate, y_k, x_ib[:, :, 0, :] * 0.01)  # mvdr.cpp:96
+        hist_new = x_ext[:, t:t + w_hist]
+        y = jnp.zeros((b, t, x_spec.shape[-1]), dtype=cdtype)
+        y = y.at[:, :, ib].set(y_ib)
+        y = y.at[:, :, 0].set(x_spec[:, :, 0, 0])             # mvdr.cpp:76
+        y = _constraint(y, mesh, P("stream", None, "bin"))
+        out, new_prev = jax.vmap(
+            lambda yy, pp: common.istft_ext_carry(yy, engine, window,
+                                                  pp))(y, out_prev)
+        out = _constraint(out * p.out_amp, mesh, P("stream", None))
+        return out, (common.WolaCarry(new_tail, new_prev), hist_new)
+
+    return step(x, d_uniq, idx, state)
+
+
 def sharded_batched_step(mesh: Mesh, model, x_batch, thetas, state):
     """One batched chunk of a REAL model over the (stream, bin) mesh.
 
@@ -153,25 +282,21 @@ def sharded_batched_step(mesh: Mesh, model, x_batch, thetas, state):
     ``_forward`` (the same code path the parity suite proves ≤1e-9 against
     the oracle): streams ride the data-parallel axis, per-bin state rides
     the ``bin`` axis, and XLA inserts the bin all-gather at the iFFT
-    boundary. MVDR/LCMV must be built with ``solver="dense"`` here — the
-    gate-sparse path's global compaction is a single-device optimization.
+    boundary. MVDR/LCMV built with the fused streaming solver
+    (``solver="stream"``/auto-on-TPU) route through
+    :func:`_sharded_stream_step`, which shard_maps the Pallas kernel over
+    bin groups.
 
     x_batch (B, M, S); thetas scalar | (B,) | (B, T). Returns
     (out (B, S), new_state) with the same shardings as the inputs.
     """
     if hasattr(model, "_use_stream") and model._use_stream():
-        raise ValueError(
-            "sharded execution needs solver='dense' (the fused streaming "
-            "Pallas solve is a single-device kernel)")
+        return _sharded_stream_step(mesh, model, x_batch, thetas, state)
     rdtype = model.rdtype
     x = jnp.asarray(x_batch, dtype=rdtype)
     b = x.shape[0]
     t = x.shape[-1] // model.engine.hop
-    th = np.asarray(thetas, dtype=np.float64)
-    if th.ndim == 0:
-        th = np.full((b, t), float(th))
-    elif th.ndim == 1:
-        th = np.repeat(th[:, None], t, axis=1)
+    th = _broadcast_thetas(thetas, b, t)
     ctrl = model.batch_controls(th)
 
     in_axes = (0,) + tuple(model.batch_axes) + (0,)

