@@ -73,7 +73,11 @@ def multihost_mesh(bin_size: Optional[int] = None) -> Mesh:
     capped at the local device count so a bin group never spans hosts).
     """
     devs = _platform_devices()
-    pid = jax.process_index()
+    # process identity must come from the mesh's own platform: with a
+    # coexisting single-process accelerator plugin (the axon tunnel), the
+    # default-backend process_index()/count() report 1 process even while
+    # the CPU platform is genuinely multi-process
+    pid = jax.process_index(backend=devs[0].platform)
     n_local = sum(1 for d in devs if d.process_index == pid)
     n_total = len(devs)
     n_proc = max(1, n_total // n_local)
@@ -105,8 +109,20 @@ def process_local_batch(mesh: Mesh, local_batch: np.ndarray):
     global_shape = (local_batch.shape[0] * n_proc,) + local_batch.shape[1:]
     if n_proc == 1:
         return jax.device_put(local_batch, sharding)
-    return jax.make_array_from_process_local_data(sharding, local_batch,
-                                                  global_shape)
+    # assemble from per-device arrays rather than
+    # make_array_from_process_local_data: that helper consults the DEFAULT
+    # backend's process count, which is 1 when a single-process accelerator
+    # plugin (the axon tunnel) coexists with the multi-process CPU platform
+    imap = sharding.addressable_devices_indices_map(global_shape)
+    row0 = min((ix[0].start or 0) for ix in imap.values())
+    arrays = []
+    for d, ix in imap.items():
+        start = (ix[0].start or 0) - row0
+        stop = (global_shape[0] if ix[0].stop is None else ix[0].stop) - row0
+        arrays.append(jax.device_put(
+            local_batch[(slice(start, stop),) + ix[1:]], d))
+    return jax.make_array_from_single_device_arrays(global_shape, sharding,
+                                                    arrays)
 
 
 def dcn_safety_report(mesh: Mesh) -> dict:
