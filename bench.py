@@ -115,14 +115,19 @@ def fetch_latency():
 
 
 def bench_model(name: str, x, cfg, seconds: float, params=None, theta=20.0,
-                repeats: int = 8):
+                repeats: int = 8, sets: int = 3):
     """Throughput (xRT): K back-to-back dispatches with device-side
     accumulation and ONE scalar fetch at the end. On a tunneled TPU,
     per-call block_until_ready can return before execution finishes and a
     sync fetch costs a fixed ~30 ms round-trip; amortizing over K calls with
     a single forcing fetch (minus the measured fetch constant) measures
     true device throughput. ``repeats`` is a floor — fast models get enough
-    chained calls that the residual fetch jitter is <2% of the total."""
+    chained calls that the residual fetch jitter is <2% of the total.
+
+    Returns (median, spread): median xRT over ``sets`` measurement sets and
+    their relative spread (max-min)/median — the bench host is a shared VM
+    with ±20% run-to-run variance, so single-shot captures can't adjudicate
+    borderline numbers (VERDICT round-2 item 7)."""
     import jax
     import jax.numpy as jnp
     from beamform_tpu.config import EngineConfig
@@ -146,15 +151,16 @@ def bench_model(name: str, x, cfg, seconds: float, params=None, theta=20.0,
     run_k(1)             # warmup / compile
     warm = run_k(2) / 2  # post-compile estimate for the chain length
     k = int(min(32, max(repeats, 1.5 / max(warm, 1e-3))))
-    dt = run_k(k)
-    if dt < 4.0:         # second set only when the host isn't starved
-        dt = min(dt, run_k(k))
-    return k * seconds / dt
+    xrts = sorted(k * seconds / run_k(k) for _ in range(max(sets, 1)))
+    med = float(np.median(xrts))
+    spread = (xrts[-1] - xrts[0]) / med if med else 0.0
+    return med, spread
 
 
 def bench_batched(name: str, cfg, seconds: float, batch: int, mics: int,
-                  params=None):
-    """Aggregate multi-stream throughput at the given batch size."""
+                  params=None, sets: int = 3):
+    """Aggregate multi-stream throughput at the given batch size.
+    Returns (median, spread) like bench_model."""
     import jax
     import jax.numpy as jnp
     from beamform_tpu.config import EngineConfig
@@ -176,15 +182,22 @@ def bench_batched(name: str, cfg, seconds: float, batch: int, mics: int,
     acc = runner.process(xs[..., :chunk], thetas)[:, -5:].sum()
     float(acc)  # warm
     lat = fetch_latency()
-    t0 = time.perf_counter()
-    acc = jnp.zeros(())
-    for _ in range(4):
-        for i in range(0, n, chunk):
-            acc = acc + runner.process(xs[..., i:i + chunk],
-                                       thetas)[:, -5:].sum()
-    float(acc)
-    dt = time.perf_counter() - t0 - lat
-    return 4 * batch * (n / 48000) / dt
+
+    def run_set():
+        t0 = time.perf_counter()
+        acc = jnp.zeros(())
+        for _ in range(4):
+            for i in range(0, n, chunk):
+                acc = acc + runner.process(xs[..., i:i + chunk],
+                                           thetas)[:, -5:].sum()
+        float(acc)
+        dt = time.perf_counter() - t0 - lat
+        return 4 * batch * (n / 48000) / dt
+
+    xrts = sorted(run_set() for _ in range(max(sets, 1)))
+    med = float(np.median(xrts))
+    spread = (xrts[-1] - xrts[0]) / med if med else 0.0
+    return med, spread
 
 
 LAUNCH = {
@@ -232,13 +245,17 @@ def main():
 
     x = make_input(args.mics, args.seconds, 48000)
 
-    xrt = bench_model("das", x, cfg, args.seconds)
+    xrt, das_spread = bench_model("das", x, cfg, args.seconds)
     result = {
         "metric": f"xrt_das_{args.mics}ch_48kHz",
         "value": round(xrt, 1),
         "unit": "x_realtime_per_chip",
         "vs_baseline": round(xrt / TARGET_XRT, 3),
+        "spread": round(das_spread, 3),
+        "sets": 3,
     }
+    stats = {"das": {"median": round(xrt, 1),
+                     "spread": round(das_spread, 3)}}
 
     def budget_left():
         return (time.perf_counter() - t_start) < args.budget
@@ -255,11 +272,16 @@ def main():
                 table[name] = "SKIPPED(budget)"
                 continue
             try:
-                table[name] = round(bench_model(name, x, cfg, args.seconds,
-                                                LAUNCH[name], repeats=4), 1)
+                med, sp = bench_model(name, x, cfg, args.seconds,
+                                      LAUNCH[name], repeats=4)
+                table[name] = round(med, 1)
+                stats[name] = {"median": round(med, 1),
+                               "spread": round(sp, 3)}
             except Exception as e:  # keep the headline alive
                 table[name] = f"ERROR {type(e).__name__}: {e}"[:120]
-            print(f"  {name}: {table[name]} xRT", file=sys.stderr)
+            print(f"  {name}: {table[name]} xRT "
+                  f"(spread {stats.get(name, {}).get('spread', '-')})",
+                  file=sys.stderr)
         result["all_models_xrt"] = table
 
         # GSC's production serving shape: the sample-serial kernel batches
@@ -269,9 +291,11 @@ def main():
             try:
                 # 10 s chunks: the flattened 32x16-channel analysis of a
                 # longer window would not fit HBM alongside its spectra
-                result["gsc_batch32_aggregate_xrt"] = round(
-                    bench_batched("gsc", cfg, min(args.seconds, 10.0), 32,
-                                  args.mics, LAUNCH["gsc"]), 1)
+                med, sp = bench_batched("gsc", cfg, min(args.seconds, 10.0),
+                                        32, args.mics, LAUNCH["gsc"])
+                result["gsc_batch32_aggregate_xrt"] = round(med, 1)
+                stats["gsc_batch32"] = {"median": round(med, 1),
+                                        "spread": round(sp, 3)}
             except Exception as e:
                 result["gsc_batch32_aggregate_xrt"] = (
                     f"ERROR {type(e).__name__}: {e}"[:120])
@@ -285,11 +309,16 @@ def main():
                 result[key] = "SKIPPED(budget)"
                 continue
             try:
-                result[key] = round(bench_model(name, xs, cfg, args.seconds,
-                                                LAUNCH[name], repeats=4), 1)
+                med, sp = bench_model(name, xs, cfg, args.seconds,
+                                      LAUNCH[name], repeats=4)
+                result[key] = round(med, 1)
+                stats[f"{name}_speech"] = {"median": round(med, 1),
+                                           "spread": round(sp, 3)}
             except Exception as e:
                 result[key] = f"ERROR {type(e).__name__}: {e}"[:120]
             print(f"  {key}: {result[key]}", file=sys.stderr)
+
+        result["stats"] = stats
 
     if args.batch:
         bt = {}
@@ -298,9 +327,10 @@ def main():
                 bt[name] = "SKIPPED(budget)"
                 continue
             try:
-                bt[name] = round(bench_batched(name, cfg, args.seconds,
-                                               args.batch, args.mics,
-                                               LAUNCH.get(name, {})), 1)
+                med, sp = bench_batched(name, cfg, args.seconds,
+                                        args.batch, args.mics,
+                                        LAUNCH.get(name, {}))
+                bt[name] = round(med, 1)
             except Exception as e:
                 bt[name] = f"ERROR {type(e).__name__}: {e}"[:120]
             print(f"  batch{args.batch} {name}: {bt[name]} aggregate xRT",
