@@ -228,6 +228,10 @@ class GscParams:
     mu_max: float = 0.01
     filter_size: int = 128
     write_mu: bool = False
+    #: TPU adaptive-stage strategy: "block" = the exact lookahead-8
+    #: block-factorized kernel (kernels/gsc_block.py); "sample" = the
+    #: per-sample kernel (kernels/gsc_pallas.py, the A/B baseline)
+    solver: str = "block"
 
 
 @dataclass(frozen=True)

@@ -41,6 +41,13 @@ class GscState(NamedTuple):
     block: jnp.ndarray      # (M-1, K) blocking-matrix shift registers
     filt: jnp.ndarray       # (M-1, K) adaptive filters
     last_out: jnp.ndarray   # (K,) recent outputs
+    # block-kernel extras (kernels/gsc_block.py): window-pair Grams at
+    # lags 0..7 and the 8 pre-register u samples. The scan path passes
+    # them through untouched (they are only consumed/maintained by the
+    # block kernel; a scan-written checkpoint resumed on the block path
+    # replays with zero Grams — a <=7-sample correction transient).
+    gram: jnp.ndarray       # (M-1, 8)
+    uold: jnp.ndarray       # (M-1, 8)
 
 
 def gsc_init_state(num_mics: int, filter_size: int, rdtype) -> GscState:
@@ -48,6 +55,8 @@ def gsc_init_state(num_mics: int, filter_size: int, rdtype) -> GscState:
         jnp.zeros((num_mics - 1, filter_size), dtype=rdtype),
         jnp.zeros((num_mics - 1, filter_size), dtype=rdtype),
         jnp.zeros((filter_size,), dtype=rdtype),
+        jnp.zeros((num_mics - 1, 8), dtype=rdtype),
+        jnp.zeros((num_mics - 1, 8), dtype=rdtype),
     )
 
 
@@ -84,7 +93,7 @@ def gsc_sample_step(state: GscState, a_t, p: GscParams,
         last_pow = jnp.sqrt(osq * kinv)
         upd = last_pow < p.vad_threshold
         filt_new = jnp.where(upd, filt_new, state.filt)
-    st = GscState(block, filt_new, last_out)
+    st = GscState(block, filt_new, last_out, state.gram, state.uold)
     if with_mu:
         return st, (out, mu[0], upd)
     return st, out
@@ -129,17 +138,38 @@ class GscModel(BatchableModel):
                 and self.params.filter_size == 128    # the reference default
                 and num_samples % 1024 == 0)
 
+    def _block_chunk(self, num_samples: int) -> int:
+        """Grid-step chunk for the block kernel (must divide the sample
+        count and hold whole 128-sample subtiles)."""
+        return 384 if num_samples % 384 == 0 else 256
+
+    def _adaptive_kernel_batched(self, aligned_b, gstate):
+        """Route a (B, M, S) aligned batch through the block-factorized
+        kernel (kernels/gsc_block.py); falls back to the per-sample kernel
+        via solver='sample' for A/B comparison."""
+        if getattr(self.params, "solver", "block") == "sample":
+            from beamform_tpu.kernels.gsc_pallas import (
+                gsc_adaptive_pallas_batched)
+            out, blk, flt, lo = gsc_adaptive_pallas_batched(
+                aligned_b, gstate.block, gstate.filt, gstate.last_out,
+                self.params)
+            return out, GscState(blk, flt, lo, gstate.gram, gstate.uold)
+        from beamform_tpu.kernels.gsc_block import gsc_block_pallas_batched
+        out, blk, flt, lo, gram, uold = gsc_block_pallas_batched(
+            aligned_b, gstate.block, gstate.filt, gstate.last_out,
+            gstate.gram, gstate.uold, self.params,
+            chunk=self._block_chunk(aligned_b.shape[-1]))
+        return out, GscState(blk, flt, lo, gram, uold)
+
     def _forward(self, x, thetas, w_idx, state):
         carry, gstate = state
         aligned, carry = self.aligned_streams(x, thetas, w_idx, carry)
 
         # the mu trace needs the per-sample scan (write_mu, gsc.cpp:181-184)
         if self._use_pallas(aligned.shape[-1]) and not self.params.write_mu:
-            from beamform_tpu.kernels.gsc_pallas import gsc_adaptive_pallas
-            out, blk, flt, lo = gsc_adaptive_pallas(
-                aligned, gstate.block, gstate.filt, gstate.last_out,
-                self.params)
-            return out, (carry, GscState(blk, flt, lo))
+            gb = jax.tree.map(lambda a: a[None], gstate)
+            out, gb = self._adaptive_kernel_batched(aligned[None], gb)
+            return out[0], (carry, jax.tree.map(lambda a: a[0], gb))
 
         def step(st, a_t):
             return gsc_sample_step(st, a_t, self.params,
@@ -215,12 +245,8 @@ class GscModel(BatchableModel):
                                                        carry)
 
         if self._use_pallas(aligned.shape[-1]) and not self.params.write_mu:
-            from beamform_tpu.kernels.gsc_pallas import (
-                gsc_adaptive_pallas_batched)
-            out, blk, flt, lo = gsc_adaptive_pallas_batched(
-                aligned, gstate.block, gstate.filt, gstate.last_out,
-                self.params)
-            return out, (carry, GscState(blk, flt, lo))
+            out, gstate = self._adaptive_kernel_batched(aligned, gstate)
+            return out, (carry, gstate)
 
         def one(a_stream, gst):
             def step(st, a_t):
