@@ -228,10 +228,13 @@ class GscParams:
     mu_max: float = 0.01
     filter_size: int = 128
     write_mu: bool = False
-    #: TPU adaptive-stage strategy: "block" = the exact lookahead-8
-    #: block-factorized kernel (kernels/gsc_block.py); "sample" = the
-    #: per-sample kernel (kernels/gsc_pallas.py, the A/B baseline)
-    solver: str = "block"
+    #: TPU adaptive-stage strategy: "sample" = the per-sample kernel
+    #: (kernels/gsc_pallas.py); "block" = the exact lookahead-8
+    #: block-factorized kernel (kernels/gsc_block.py). Measured on-chip
+    #: (batch 32, 16 mics): sample 542x vs block 511x aggregate with a 3x
+    #: longer compile — the per-sample registers win, so they stay the
+    #: default and the factorization remains an A/B strategy.
+    solver: str = "sample"
 
 
 @dataclass(frozen=True)
@@ -247,6 +250,9 @@ class PhaseParams:
     min_phase: float = 10.0  # degrees
     mag_mult: float = 0.1
     mag_threshold: float = 0.05
+    #: experiment (docs/ROADMAP.md): bfloat16 mask arithmetic on the
+    #: spectra planes; measured on-chip before adoption (see README)
+    spectra_bf16: bool = False
 
 
 @dataclass(frozen=True)

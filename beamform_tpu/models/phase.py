@@ -39,12 +39,30 @@ def mean_pairwise_phase_dist(aligned_phase, ia, ib):
 
 
 def phase_mask_spectral(x_spec, weights, params: PhaseParams, nfft: int,
-                        ia, ib):
-    """(T, M, N) spectra + (T, M, N)|(M, N) weights -> (T, N) output bins."""
-    mag_mean = jnp.mean(jnp.abs(x_spec), axis=-2)            # (T, N)
-    pha = jnp.arctan2(x_spec[..., 0, :].imag, x_spec[..., 0, :].real)
-    aligned = jnp.conj(weights) * x_spec
-    aligned_phase = jnp.arctan2(aligned.imag, aligned.real)  # (T, M, N)
+                        ia, ib, bf16: bool = False):
+    """(T, M, N) spectra + (T, M, N)|(M, N) weights -> (T, N) output bins.
+
+    ``bf16``: run the mask arithmetic (alignment products, magnitudes) on
+    bfloat16 spectra planes — the roadmap's quantized-inference experiment.
+    The mask thresholds tolerate ~0.4% magnitude noise; arctan2 stays f32
+    (TPU has no bf16 transcendentals). Output magnitude/phase reconstruction
+    keeps the full-precision reference phase.
+    """
+    if bf16:
+        b = jnp.bfloat16
+        xr, xi = x_spec.real.astype(b), x_spec.imag.astype(b)
+        wr, wi = weights.real.astype(b), weights.imag.astype(b)
+        mag_mean = jnp.mean(
+            jnp.sqrt((xr * xr + xi * xi).astype(jnp.float32)), axis=-2)
+        pha = jnp.arctan2(x_spec[..., 0, :].imag, x_spec[..., 0, :].real)
+        ar = (wr * xr + wi * xi).astype(jnp.float32)   # conj(w) * x
+        ai = (wr * xi - wi * xr).astype(jnp.float32)
+        aligned_phase = jnp.arctan2(ai, ar)
+    else:
+        mag_mean = jnp.mean(jnp.abs(x_spec), axis=-2)        # (T, N)
+        pha = jnp.arctan2(x_spec[..., 0, :].imag, x_spec[..., 0, :].real)
+        aligned = jnp.conj(weights) * x_spec
+        aligned_phase = jnp.arctan2(aligned.imag, aligned.real)
     diff_mean = mean_pairwise_phase_dist(aligned_phase, ia, ib)
 
     min_phase_rad = params.min_phase * jnp.pi / 180.0
@@ -84,8 +102,10 @@ class PhaseModel(BatchableModel):
         # mask over frame blocks so it never materializes whole
         def mask_fn(args):
             spec_b, idx_b = args
-            return phase_mask_spectral(spec_b, w_uniq[idx_b], self.params,
-                                       self.engine.fft_win, self.ia, self.ib)
+            return phase_mask_spectral(
+                spec_b, w_uniq[idx_b], self.params, self.engine.fft_win,
+                self.ia, self.ib,
+                bf16=getattr(self.params, "spectra_bf16", False))
 
         y = common.map_frame_blocks(mask_fn, spec, w_idx,
                                     pairs=len(self.ia))

@@ -285,6 +285,25 @@ def test_float32_deviation_budget(name):
     assert dev < 1e-3, dev
 
 
+def test_phase_bf16_spectra_within_budget():
+    """The bf16 mask-arithmetic experiment (PhaseParams.spectra_bf16,
+    docs/ROADMAP.md item 6) must stay inside the 1e-3 deviation budget vs
+    the f64 reference math (mask flips on borderline bins are the error
+    mechanism; measured ~5e-4)."""
+    x = scene(seconds=0.25, quiet_hops=8)
+    e32 = EngineConfig(sample_rate=FS, window_size=HOP, dtype="float32")
+    e64 = engine()
+    from beamform_tpu.config import parse_array_config
+    doc = {f"mic{i}": {"id": i, "x": xx, "y": yy}
+           for i, (xx, yy) in enumerate(AIRA3)}
+    cfg = parse_array_config(doc)
+    ybf = np.asarray(get_model("phase", e32, cfg,
+                               dict(spectra_bf16=True)).process(x, THETA))
+    y64 = np.asarray(get_model("phase", e64, cfg, {}).process(x, THETA))
+    assert np.isfinite(ybf).all()
+    assert np.max(np.abs(ybf - y64)) < 1e-3
+
+
 def test_gss_theta_timeline_parity():
     """Mid-stream /theta message: GSS resets its demixing matrices to A^H
     via update_weights (gss.cpp:90-93) — validated against the oracle."""
