@@ -13,6 +13,10 @@ import json
 import os
 import sys
 
+# self-sufficient even when beamform_tpu isn't pip-installed: the repo root
+# is this file's parent's parent
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
 
 os.environ["JAX_PLATFORMS"] = "cpu"
