@@ -184,11 +184,13 @@ class MvdrParams:
     freq_min: float = 400.0
     out_amp: float = 4.5
     # implementation strategy, not a reference param: "auto" runs the
-    # fused streaming Pallas solve (kernels/mvdr_stream.py — per-frame
-    # sliding covariance + Cholesky in VMEM, silent frames skip the solve
-    # like the reference's gate, mvdr.cpp:84-96) on TPU float32 and the
-    # dense block pipeline elsewhere; "dense" forces the block pipeline;
-    # "stream"/"sparse" force the kernel (interpret mode off-TPU).
+    # mega-fused Pallas program (kernels/mega_stream.py — WOLA analysis,
+    # per-frame sliding covariance + Cholesky, synthesis in ONE kernel,
+    # silent frames skip the solve like the reference's gate,
+    # mvdr.cpp:84-96) on TPU float32 when the band/scratch fit on-core,
+    # the three-stage stream kernels next, the dense block pipeline
+    # elsewhere; "mega"/"stream"/"sparse" force a kernel (interpret mode
+    # off-TPU); "dense" forces the block pipeline.
     solver: str = "auto"
 
 

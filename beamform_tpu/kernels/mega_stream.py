@@ -1,0 +1,608 @@
+"""Mega-fused streaming MVDR/LCMV: analysis -> solve -> synthesis in ONE
+Pallas kernel.
+
+The three-stage stream path (kernels/wola_pallas.py analysis ->
+kernels/mvdr_stream.py solve -> XLA synthesis) round-trips full spectra
+planes through HBM (~460 MB per 30 s at 16 ch / 48 kHz) and pays three
+kernel launches plus XLA glue per chunk. This kernel marches the frame axis
+once, taking stride-layout audio hops IN and stride-layout audio hops OUT:
+
+- **analysis** per frame: the previous hop lives in VMEM scratch (each hop
+  is read from HBM exactly once), frame assembly + sqrt-Hann window + rFFT
+  run exactly as kernels/wola_pallas.py (same split DFT constants, two MXU
+  stage-1 dots, unrolled VPU stage-2 MACs) — but only the ``k2cov`` leading
+  128-bin groups that cover the configured band are ever computed, and the
+  spectra never leave VMEM.
+- **gate**: the mic-mean |X| magnitude (mvdr.cpp:79-82) and the band mask
+  are evaluated in-register; the per-frame activity scalar drives
+  ``pl.when`` directly (no precomputed act input — the energy-gate skip of
+  mvdr.cpp:84-96 at frame granularity, computed on-core).
+- **solve**: the sliding covariance / Cholesky machinery of
+  kernels/mvdr_stream.py (rank-1 VMEM updates, epoch-exact resets) reused
+  verbatim, with the history-frame spectra kept in a W-slot VMEM ring
+  (dynamic leading-dim indexing) instead of a second HBM input stream.
+- **synthesis**: Hermitian-fold-free half-spectrum inverse — by linearity
+  of the staged iDFT and the final real part, feeding 2*y[k] for
+  0 < k < nfft/2 (and y[0] once) through stage-A/twiddle/stage-B
+  reproduces the full Hermitian-expanded inverse exactly, so only the
+  ``k2cov`` in-band groups are transformed; synthesis window + 50%
+  overlap-add with the one-hop carry in VMEM scratch
+  (kernels/wola_pallas.py semantics).
+
+Iterative refinement is OFF by default here (and costs ~16% when on):
+measured on-chip, the unrefined f32 solve deviates 8.5e-5 (white noise) /
+3.8e-4 (speech-like) from the float64 oracle vs 8.9e-5 / 3.6e-4 WITH
+refinement — the stream-vs-dense difference is summation order, not solve
+conditioning (tests/test_mega_stream.py pins this).
+
+Capacity: the band must start in k2 group 0 (bin 0 through the last
+in-band bin — high-pass-only bands fall back to the three-stage path) and
+the (M, M, k2cov*128) scratch set must fit VMEM; see
+``mega_fits`` / models/mvdr.py select_solver_strategy.
+
+Reference semantics: mvdr.cpp:62-115 (the whole per-window pipeline this
+kernel fuses), lcmv.cpp:108-138 (constraint-space solve).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from beamform_tpu.kernels.wola_pallas import _acc_term, _fwd_consts
+from beamform_tpu.kernels.mvdr_stream import (
+    _cmul,
+    _cmul_conj,
+    cholesky_factor,
+    make_solvers,
+    sliding_update,
+)
+from beamform_tpu.kernels.lcmv_stream import _small_gj_inverse
+
+FRAMES_PER_STEP = 8
+
+
+@lru_cache(maxsize=8)
+def _synth_consts(nfft: int, k2cov: int):
+    """Half-spectrum synthesis constants: stage-A weights with the
+    Hermitian x2 folded in (lane-broadcast (k2cov, n2, 128) — bin 0's
+    halving happens on the y row), inverse twiddle, stage-B iDFT."""
+    n2 = nfft // 128
+    k1 = np.arange(128)
+    wa = 2.0 * np.exp(2j * np.pi
+                      * np.outer(np.arange(k2cov), np.arange(n2)) / n2)
+    wa_full = np.repeat(wa[:, :, None], 128, axis=2)      # (k2cov, n2, 128)
+    tw = np.exp(2j * np.pi * np.outer(np.arange(n2), k1) / nfft)
+    wb = np.exp(2j * np.pi * np.outer(k1, np.arange(128)) / 128.0) / nfft
+    f32 = np.float32
+    return (wa_full.real.astype(f32), wa_full.imag.astype(f32),
+            tw.real.astype(f32), tw.imag.astype(f32),
+            wb.real.astype(f32), wb.imag.astype(f32))
+
+
+def _analyze_block(prev_all, cur_all, w1r, w1i, twr, twi, wlo, whi,
+                   m: int, n2: int, k2cov: int, nfft: int, fb: int):
+    """Frame-BATCHED fused WOLA analysis: all fb frames of a grid step go
+    through one set of wide ops (per-frame small ops are issue-overhead
+    bound on the VPU — batching frames onto the untiled leading dim
+    amortizes ~8x). prev_all/cur_all (fb*n2*m, 64) stride-layout hop
+    streams (frame f's halves); row consts keep their natural (n2*m, .)
+    shape and broadcast over frames. Returns
+    (spec_r, spec_i (fb, m, k2cov*128), mag (fb, 1, k2cov*128))."""
+    minv = np.float32(1.0 / (m * nfft))
+    hp = jax.lax.Precision.HIGHEST
+    # window/twiddle rows stay at their natural (n2*m, .) shape in VMEM and
+    # broadcast over the frame axis via free leading-dim reshapes (host-side
+    # fb-tiling of these consts cost ~3 MB and pushed the kernel over the
+    # scoped-VMEM cliff at production shapes)
+    p = (prev_all.reshape(fb, n2 * m, 64) * wlo).reshape(fb * n2 * m, 64)
+    c = (cur_all.reshape(fb, n2 * m, 64) * whi).reshape(fb * n2 * m, 64)
+    f1r = (jax.lax.dot(p, w1r[:64], precision=hp,
+                       preferred_element_type=jnp.float32)
+           + jax.lax.dot(c, w1r[64:], precision=hp,
+                         preferred_element_type=jnp.float32))
+    f1i = (jax.lax.dot(p, w1i[:64], precision=hp,
+                       preferred_element_type=jnp.float32)
+           + jax.lax.dot(c, w1i[64:], precision=hp,
+                         preferred_element_type=jnp.float32))
+    f1r = f1r.reshape(fb, n2 * m, 128)
+    f1i = f1i.reshape(fb, n2 * m, 128)
+    gr = (f1r * twr - f1i * twi).reshape(fb, n2, m, 128)
+    gi = (f1r * twi + f1i * twr).reshape(fb, n2, m, 128)
+    spec_r, spec_i, mags = [], [], []
+    for k2 in range(k2cov):
+        acc_r = jnp.zeros((fb, m, 128), jnp.float32)
+        acc_i = jnp.zeros((fb, m, 128), jnp.float32)
+        for j in range(n2):
+            w = np.exp(-2j * np.pi * (j * k2) / n2)
+            acc_r, acc_i = _acc_term(acc_r, acc_i, gr[:, j], gi[:, j],
+                                     float(np.float32(w.real)),
+                                     float(np.float32(w.imag)))
+        spec_r.append(acc_r)
+        spec_i.append(acc_i)
+        amag = jnp.sqrt(acc_r * acc_r + acc_i * acc_i)
+        mags.append(jnp.sum(amag, axis=1, keepdims=True) * minv)
+    return (jnp.concatenate(spec_r, axis=2), jnp.concatenate(spec_i, axis=2),
+            jnp.concatenate(mags, axis=2))
+
+
+def _synthesize_block(y_r, y_i, war, wai, s_twr, s_twi, wbr, wbi, win_s,
+                      n2: int, k2cov: int, fb: int):
+    """Frame-BATCHED half-spectrum inverse WOLA: y_r/y_i (fb, 1,
+    k2cov*128) leading-bin spectra (bins >= k2cov*128 implicitly zero) ->
+    windowed stride-layout frames (fb, n2, 128). Bin 0 is halved here; the
+    Hermitian x2 lives in ``war/wai``."""
+    hp = jax.lax.Precision.HIGHEST
+    lane = jax.lax.broadcasted_iota(jnp.int32, (fb, 1, k2cov * 128), 2)
+    half0 = jnp.where(lane == 0, 0.5, 1.0)
+    y_r = y_r * half0
+    y_i = y_i * half0
+    acc_r = jnp.zeros((fb, n2, 128), jnp.float32)
+    acc_i = jnp.zeros((fb, n2, 128), jnp.float32)
+    for c in range(k2cov):
+        yc_r = y_r[:, :, c * 128:(c + 1) * 128]            # (fb, 1, 128)
+        yc_i = y_i[:, :, c * 128:(c + 1) * 128]
+        pr, pi = _cmul(yc_r, yc_i, war[c][None], wai[c][None])
+        acc_r = acc_r + pr
+        acc_i = acc_i + pi
+    gr = ((acc_r * s_twr[None] - acc_i * s_twi[None])
+          .reshape(fb * n2, 128))
+    gi = ((acc_r * s_twi[None] + acc_i * s_twr[None])
+          .reshape(fb * n2, 128))
+    xr = (jax.lax.dot(gr, wbr, precision=hp,
+                      preferred_element_type=jnp.float32)
+          - jax.lax.dot(gi, wbi, precision=hp,
+                        preferred_element_type=jnp.float32))
+    return xr.reshape(fb, n2, 128) * win_s
+
+
+def _mvdr_solve_frame(sr, si, ar, ai, ur, ui, linv_ref, solvers,
+                      d_r, d_i, xc_r, xc_i, eyec, eye, m: int, refine: bool):
+    """Loading + Cholesky + (optionally refined) solve + apply:
+    returns (y_r, y_i) (1, 1, nibp)."""
+    fwd_solve, bwd_solve, refined_solve = solvers
+    ar[:] = sr[:] * eyec
+    ai[:] = si[:] * eyec
+    cholesky_factor(ar, ai, ur, ui, linv_ref, m)
+    if refine:
+        u_r, u_i = refined_solve(sr, si, eye, d_r, d_i)
+    else:
+        zr_, zi_ = fwd_solve(d_r, d_i)
+        u_r, u_i = bwd_solve(zr_, zi_)
+    nr, ni = _cmul_conj(u_r, u_i, d_r, d_i)
+    den_r = jnp.sum(nr, axis=1, keepdims=True)
+    den_i = jnp.sum(ni, axis=1, keepdims=True)
+    yr_, yi_ = _cmul_conj(xc_r, xc_i, u_r, u_i)
+    num_r = jnp.sum(yr_, axis=1, keepdims=True)
+    num_i = jnp.sum(yi_, axis=1, keepdims=True)
+    scale = 1.0 / (den_r * den_r + den_i * den_i)
+    return ((num_r * den_r - num_i * den_i) * scale,
+            (num_i * den_r + num_r * den_i) * scale)
+
+
+def _lcmv_solve_frame(sr, si, ar, ai, ur, ui, xsr, xsi, linv_ref, solvers,
+                      c_rows_r, c_rows_i, xc_r, xc_i, eyec, eye,
+                      m: int, s_cap: int, refine: bool):
+    """Constraint-space solve (lcmv.cpp:108-138) — see
+    kernels/lcmv_stream.py for the algorithm notes."""
+    fwd_solve, bwd_solve, refined_solve = solvers
+    ar[:] = sr[:] * eyec
+    ai[:] = si[:] * eyec
+    cholesky_factor(ar, ai, ur, ui, linv_ref, m)
+
+    for a in range(s_cap):
+        if refine:
+            x_r, x_i = refined_solve(sr, si, eye, c_rows_r[a], c_rows_i[a])
+        else:
+            zr_, zi_ = fwd_solve(c_rows_r[a], c_rows_i[a])
+            x_r, x_i = bwd_solve(zr_, zi_)
+        xsr[a:a + 1] = x_r
+        xsi[a:a + 1] = x_i
+
+    nib = sr.shape[-1]
+    inr = [[None] * s_cap for _ in range(s_cap)]
+    ini = [[None] * s_cap for _ in range(s_cap)]
+    for a in range(s_cap):
+        colnorm = jnp.sum(c_rows_r[a] * c_rows_r[a]
+                          + c_rows_i[a] * c_rows_i[a],
+                          axis=1, keepdims=True)
+        for b in range(s_cap):
+            pr, pi = _cmul_conj(xsr[b:b + 1], xsi[b:b + 1],
+                                c_rows_r[a], c_rows_i[a])
+            inr[a][b] = jnp.sum(pr, axis=1, keepdims=True)
+            ini[a][b] = jnp.sum(pi, axis=1, keepdims=True)
+        inr[a][a] = inr[a][a] + jnp.where(colnorm == 0.0, 1.0, 0.0)
+
+    ivr, ivi = _small_gj_inverse(inr, ini, s_cap)
+    v_r = [ivr[a][0] for a in range(s_cap)]
+    v_i = [ivi[a][0] for a in range(s_cap)]
+    res_r, res_i = [], []
+    for a in range(s_cap):
+        acc_r = v_r[0] * 0 + (1.0 if a == 0 else 0.0)
+        acc_i = v_i[0] * 0
+        for b in range(s_cap):
+            dr, di = _cmul(inr[a][b], ini[a][b], v_r[b], v_i[b])
+            acc_r = acc_r - dr
+            acc_i = acc_i - di
+        res_r.append(acc_r)
+        res_i.append(acc_i)
+    for a in range(s_cap):
+        for b in range(s_cap):
+            dr, di = _cmul(ivr[a][b], ivi[a][b], res_r[b], res_i[b])
+            v_r[a] = v_r[a] + dr
+            v_i[a] = v_i[a] + di
+
+    w_r = jnp.zeros((1, m, nib), jnp.float32)
+    w_i = jnp.zeros((1, m, nib), jnp.float32)
+    for b in range(s_cap):
+        dr, di = _cmul(xsr[b:b + 1], xsi[b:b + 1], v_r[b], v_i[b])
+        w_r = w_r + dr
+        w_i = w_i + di
+    yr_, yi_ = _cmul_conj(xc_r, xc_i, w_r, w_i)
+    return (jnp.sum(yr_, axis=1, keepdims=True),
+            jnp.sum(yi_, axis=1, keepdims=True))
+
+
+def _kernel(hops_ref, init_hop_ref, hist_r_ref, hist_i_ref,
+            ctrl_r_ref, ctrl_i_ref, mask_ref,
+            w1r_ref, w1i_ref, twr_ref, twi_ref, wlo_ref, whi_ref,
+            war_ref, wai_ref, stwr_ref, stwi_ref, wbr_ref, wbi_ref,
+            wins_ref,
+            out_ref, ring_out_r, ring_out_i, ola_out_ref,
+            sr, si, gr, gi, ar, ai, ur, ui, linv_ref,
+            ring_r, ring_i, prev_hop, ola, *extra_scratch,
+            m: int, n2: int, k2cov: int, nfft: int, w_hist: int, fb: int,
+            t_real: int, s_cap: int, per_frame_ctrl: bool, refine: bool,
+            mag_threshold: float, kind: str):
+    step = pl.program_id(0)
+    nsteps = pl.num_programs(0)
+    nibp = k2cov * 128
+    rows = jax.lax.broadcasted_iota(jnp.int32, (m, m, nibp), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (m, m, nibp), 1)
+    eye = (rows == cols).astype(jnp.float32)
+    eyec = 1.0 + 0.001 * eye
+    sub = jax.lax.broadcasted_iota(jnp.int32, (1, m, nibp), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nibp), 2)
+    solvers = make_solvers(ur, ui, linv_ref, sub, m)
+    w32 = np.int32(w_hist)
+
+    @pl.when(step == 0)
+    def _prologue():
+        sr[:] = jnp.zeros(sr.shape, jnp.float32)
+        si[:] = jnp.zeros(si.shape, jnp.float32)
+        gr[:] = jnp.zeros(gr.shape, jnp.float32)
+        gi[:] = jnp.zeros(gi.shape, jnp.float32)
+        ring_r[:] = jnp.zeros(ring_r.shape, jnp.float32)
+        ring_i[:] = jnp.zeros(ring_i.shape, jnp.float32)
+        prev_hop[:] = init_hop_ref[0].reshape(n2 * m, 64)
+        ola[:] = jnp.zeros(ola.shape, jnp.float32)
+        # warm-up: replay the W carried history frames as covariance
+        # updates (solves gated off) — the mvdr_stream.py prepended-frame
+        # trick, done once in VMEM
+        for w in range(w_hist):
+            h_r = hist_r_ref[w:w + 1]
+            h_i = hist_i_ref[w:w + 1]
+            sliding_update(sr, si, gr, gi, h_r, h_i,
+                           ring_r[w:w + 1], ring_i[w:w + 1], m, True)
+            ring_r[w:w + 1] = h_r
+            ring_i[w:w + 1] = h_i
+
+    # ---- frame-BATCHED analysis: all fb frames in wide ops --------------
+    cur_all = hops_ref[...].reshape(fb * n2 * m, 64)
+    prev_all = jnp.concatenate(
+        [prev_hop[:], cur_all[:(fb - 1) * n2 * m]], axis=0)
+    spec_r, spec_i, mag = _analyze_block(
+        prev_all, cur_all, w1r_ref[:], w1i_ref[:], twr_ref[:], twi_ref[:],
+        wlo_ref[:], whi_ref[:], m, n2, k2cov, nfft, fb)
+    prev_hop[:] = cur_all[(fb - 1) * n2 * m:]
+    gate_all = ((mag > mag_threshold)
+                & (mask_ref[:] != 0.0))                    # (fb, 1, nibp)
+
+    ysr, ysi = (extra_scratch[-2], extra_scratch[-1])      # (fb, 1, nibp)
+
+    # ---- per-frame march: gate, covariance window, solve ----------------
+    for f in range(fb):
+        t = step * fb + f
+
+        @pl.when(t < t_real)
+        def _frame():
+            xc_r = spec_r[f:f + 1]                         # (1, m, nibp)
+            xc_i = spec_i[f:f + 1]
+            gate = gate_all[f:f + 1]
+            act = jnp.sum(gate.astype(jnp.float32)) > 0.0
+
+            # epoch-exact covariance window reset; global frame index =
+            # w_hist + t (warm-ups count, matching the three-stage kernel)
+            @pl.when(jax.lax.rem(w32 + t, w32) == 0)
+            def _():
+                sr[:] = gr[:]
+                si[:] = gi[:]
+                gr[:] = jnp.zeros(gr.shape, jnp.float32)
+                gi[:] = jnp.zeros(gi.shape, jnp.float32)
+
+            fi = f if per_frame_ctrl else 0
+            if kind == "mvdr":
+                d_r = ctrl_r_ref[fi, 0:1]
+                d_i = ctrl_i_ref[fi, 0:1]
+            else:
+                c_rows_r = [ctrl_r_ref[fi, a:a + 1, :, :]
+                            for a in range(s_cap)]
+                c_rows_i = [ctrl_i_ref[fi, a:a + 1, :, :]
+                            for a in range(s_cap)]
+
+            # the solve only runs on gate-passing frames (the reference's
+            # per-bin energy-gate sparsity at frame granularity); its
+            # result lands in scratch rows so the batched masked combine
+            # below is branch-free
+            @pl.when(act)
+            def _solve():
+                if kind == "mvdr":
+                    r_, i_ = _mvdr_solve_frame(
+                        sr, si, ar, ai, ur, ui, linv_ref, solvers,
+                        d_r, d_i, xc_r, xc_i, eyec, eye, m, refine)
+                else:
+                    xsr, xsi = extra_scratch[0], extra_scratch[1]
+                    r_, i_ = _lcmv_solve_frame(
+                        sr, si, ar, ai, ur, ui, xsr, xsi, linv_ref,
+                        solvers, c_rows_r, c_rows_i, xc_r, xc_i, eyec,
+                        eye, m, s_cap, refine)
+                ysr[f:f + 1] = r_
+                ysi[f:f + 1] = i_
+
+            @pl.when(jnp.logical_not(act))
+            def _silent():
+                ysr[f:f + 1] = jnp.zeros((1, 1, nibp), jnp.float32)
+                ysi[f:f + 1] = jnp.zeros((1, 1, nibp), jnp.float32)
+
+            # sliding-window update (history shifts regardless of the
+            # gate, mvdr.cpp:100-101): remove the frame W back from the
+            # VMEM ring, insert the current frame
+            slot = jax.lax.rem(t, w32)
+            old_r = ring_r[pl.ds(slot, 1)]
+            old_i = ring_i[pl.ds(slot, 1)]
+            sliding_update(sr, si, gr, gi, xc_r, xc_i, old_r, old_i,
+                           m, True)
+            ring_r[pl.ds(slot, 1)] = xc_r
+            ring_i[pl.ds(slot, 1)] = xc_i
+
+    # ---- batched per-bin combine (mvdr.cpp:76,96) -----------------------
+    x0_r = spec_r[:, 0:1, :]                               # (fb, 1, nibp)
+    x0_i = spec_i[:, 0:1, :]
+    in_band = mask_ref[:] != 0.0
+    y_r = jnp.where(gate_all, ysr[:], jnp.where(in_band, 0.01 * x0_r, 0.0))
+    y_i = jnp.where(gate_all, ysi[:], jnp.where(in_band, 0.01 * x0_i, 0.0))
+    y_r = jnp.where(lane == 0, x0_r, y_r)
+    y_i = jnp.where(lane == 0, x0_i, y_i)
+
+    # ---- frame-BATCHED synthesis + in-block overlap-add -----------------
+    p = _synthesize_block(y_r, y_i, war_ref[:], wai_ref[:],
+                          stwr_ref[:], stwi_ref[:], wbr_ref[:], wbi_ref[:],
+                          wins_ref[:], n2, k2cov, fb)
+    first = p[:, :, :64]                                   # (fb, n2, 64)
+    second = p[:, :, 64:]
+    prev_block = jnp.concatenate([ola[:][None], second[:fb - 1]], axis=0)
+    out_ref[...] = first + prev_block
+    # the carry out is the last VALID frame's second half (the trailing
+    # pad frames of the final block must not shift it)
+    nvalid = jnp.clip(t_real - step * fb, 1, fb)
+    frow = jax.lax.broadcasted_iota(jnp.int32, (fb, n2, 64), 0)
+    sel = (frow == nvalid - 1).astype(jnp.float32)
+    ola[:] = jnp.sum(second * sel, axis=0)
+
+    @pl.when(step == nsteps - 1)
+    def _epilogue():
+        ring_out_r[:] = ring_r[:]
+        ring_out_i[:] = ring_i[:]
+        ola_out_ref[:] = ola[:]
+
+
+def _mega_call(hs, hist_r, hist_i, ctrl_r, ctrl_i, band_mask,
+               nfft: int, w_hist: int, mag_threshold: float, kind: str,
+               refine: bool, interpret: bool, frames_per_step: int):
+    """Shared pallas_call wrapper. hs (T+1, n2, m, 64) stride hops (hs[0]
+    is the carried tail hop); hist (W, m, nibp) planes; ctrl (U, S, m,
+    nibp) planes with S=1 for mvdr (U==1 constant control, else U==T
+    pre-gathered); band_mask (1, 1, nibp) f32 0/1. Returns (audio
+    (tp, n2, 64) stride frames, ring planes (W, m, nibp) x2 — slot j holds
+    frame T-W+((T+j) mod W)... i.e. frame t at slot t mod W — and the OLA
+    carry (n2, 64))."""
+    t = hs.shape[0] - 1
+    n2 = nfft // 128
+    m = hs.shape[2]
+    nibp = band_mask.shape[-1]
+    k2cov = nibp // 128
+    fb = frames_per_step
+    tp = -(-t // fb) * fb
+    u, s_cap = ctrl_r.shape[:2]
+    per_frame_ctrl = u > 1
+
+    w1r, w1i, twr, twi, win_lo, win_hi, _ = _fwd_consts(nfft, m)
+    war, wai, stwr, stwi, wbr, wbi = _synth_consts(nfft, k2cov)
+    from beamform_tpu.dsp.wola import sqrt_hann
+    win_s = sqrt_hann(nfft, np.float32).reshape(128, n2).T  # (n2, 128)
+
+    hops = jnp.pad(hs[1:], ((0, tp - t), (0, 0), (0, 0), (0, 0)))
+    if per_frame_ctrl:
+        zp = jnp.zeros((tp - t,) + ctrl_r.shape[1:], ctrl_r.dtype)
+        ctrl_r = jnp.concatenate([ctrl_r, zp], axis=0)
+        ctrl_i = jnp.concatenate([ctrl_i, zp], axis=0)
+        ctrl_spec = pl.BlockSpec((fb, s_cap, m, nibp),
+                                 lambda i: (i, 0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        ctrl_spec = pl.BlockSpec((1, s_cap, m, nibp), lambda i: (0, 0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+
+    const = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    kernel = functools.partial(
+        _kernel, m=m, n2=n2, k2cov=k2cov, nfft=nfft, w_hist=w_hist, fb=fb,
+        t_real=t, s_cap=s_cap, per_frame_ctrl=per_frame_ctrl, refine=refine,
+        mag_threshold=float(mag_threshold), kind=kind)
+
+    lcmv_scratch = ([pltpu.VMEM((s_cap, m, nibp), jnp.float32)] * 2
+                    if kind == "lcmv" else [])
+    outs = pl.pallas_call(
+        kernel,
+        grid=(tp // fb,),
+        in_specs=[
+            pl.BlockSpec((fb, n2, m, 64), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            const((1, n2, m, 64)),
+            const((w_hist, m, nibp)), const((w_hist, m, nibp)),
+            ctrl_spec, ctrl_spec,
+            const((1, 1, nibp)),
+            const((128, 128)), const((128, 128)),
+            const((n2 * m, 128)), const((n2 * m, 128)),
+            const((n2 * m, 64)), const((n2 * m, 64)),
+            const((k2cov, n2, 128)), const((k2cov, n2, 128)),
+            const((n2, 128)), const((n2, 128)),
+            const((128, 128)), const((128, 128)),
+            const((n2, 128)),
+        ],
+        out_specs=[
+            pl.BlockSpec((fb, n2, 64), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            const((w_hist, m, nibp)), const((w_hist, m, nibp)),
+            const((n2, 64)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((tp, n2, 64), jnp.float32),
+            jax.ShapeDtypeStruct((w_hist, m, nibp), jnp.float32),
+            jax.ShapeDtypeStruct((w_hist, m, nibp), jnp.float32),
+            jax.ShapeDtypeStruct((n2, 64), jnp.float32),
+        ],
+        scratch_shapes=(
+            [pltpu.VMEM((m, m, nibp), jnp.float32)] * 8
+            + [pltpu.VMEM((m, 1, nibp), jnp.float32)]
+            + [pltpu.VMEM((w_hist, m, nibp), jnp.float32)] * 2
+            + [pltpu.VMEM((n2 * m, 64), jnp.float32)]
+            + [pltpu.VMEM((n2, 64), jnp.float32)]
+            + lcmv_scratch
+            + [pltpu.VMEM((fb, 1, nibp), jnp.float32)] * 2
+        ),
+        # 32 MB scoped-VMEM ceiling (v5e has 128 MiB): at production shapes
+        # (16 ch, 678-bin band, W=10) the LCMV variant's scoped set incl.
+        # Mosaic stack spill is ~24.3 MB — just over the 24 MB default
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(os.environ.get(
+                "BEAMFORM_MEGA_VMEM", 32 * 1024 * 1024))),
+        interpret=interpret,
+    )(hops, hs[0:1], hist_r, hist_i, ctrl_r, ctrl_i, band_mask,
+      jnp.asarray(w1r), jnp.asarray(w1i), jnp.asarray(twr),
+      jnp.asarray(twi), jnp.asarray(win_lo), jnp.asarray(win_hi),
+      jnp.asarray(war), jnp.asarray(wai), jnp.asarray(stwr),
+      jnp.asarray(stwi), jnp.asarray(wbr), jnp.asarray(wbi),
+      jnp.asarray(win_s))
+    audio, ring_r, ring_i, ola = outs
+    return audio[:t], ring_r, ring_i, ola
+
+
+def mega_k2cov(ib) -> int:
+    """128-bin groups covering [bin 0, last in-band bin]."""
+    return (int(np.max(ib)) + 128) // 128
+
+
+def mega_fits(m: int, ib, nfft: int, s_cap: int = 0,
+              budget: int = 18 * 1024 * 1024) -> bool:
+    """Whether the mega kernel's VMEM scratch set fits on-core. Mirrors
+    models/mvdr.py stream_solver_fits with the fused extras (spectra ring,
+    hop scratch) and the band-coverage padding nibp = k2cov*128."""
+    from beamform_tpu.kernels.wola_pallas import MAX_CHANNELS_PER_BLOCK
+    if m > MAX_CHANNELS_PER_BLOCK:
+        return False
+    nibp = mega_k2cov(ib) * 128
+    n2 = nfft // 128
+    w_hist_max = 16          # conservative: ring scales with past_windows
+    scratch = (8 * m * m + m + 2 * w_hist_max * m + 2 * s_cap * m) * nibp * 4
+    scratch += (n2 * m * 64 + n2 * 64) * 4
+    return scratch <= budget
+
+
+def _prep(x, tail, hist, ib, nfft: int):
+    """Host-side prep shared by both wrappers: stride hops + padded
+    history planes + band mask."""
+    m, s = x.shape
+    n2 = nfft // 128
+    hop = nfft // 2
+    t = s // hop
+    nibp = mega_k2cov(ib) * 128
+    ext = jnp.concatenate([jnp.asarray(tail, x.dtype), x], axis=-1)
+    hs = jnp.transpose(ext.reshape(m, t + 1, 64, n2), (1, 3, 0, 2))
+    ibj = jnp.asarray(np.asarray(ib))
+    w_hist = hist.shape[0]
+    hist_p = jnp.zeros((w_hist, m, nibp), jnp.float32)
+    hist_r = hist_p.at[..., ibj].set(hist.real.astype(jnp.float32))
+    hist_i = hist_p.at[..., ibj].set(hist.imag.astype(jnp.float32))
+    mask = np.zeros((1, 1, nibp), np.float32)
+    mask[0, 0, np.asarray(ib)] = 1.0
+    return hs, hist_r, hist_i, jnp.asarray(mask), t, nibp, hop
+
+
+def _finish(audio, ring_r, ring_i, ola, ib, t: int, w_hist: int, hop: int,
+            out_prev, n2: int):
+    """De-stride the audio, fold the initial OLA carry into hop 0, unroll
+    the ring into oldest-first history frames, de-stride the carry."""
+    prev_s = jnp.transpose(jnp.asarray(out_prev, jnp.float32)
+                           .reshape(64, n2))               # (n2, 64)
+    audio = audio.at[0].add(prev_s)
+    stream = jnp.transpose(audio, (0, 2, 1)).reshape(t * hop)
+    ring = jax.lax.complex(ring_r, ring_i)
+    hist = jnp.roll(ring, -(t % w_hist), axis=0)[..., jnp.asarray(
+        np.asarray(ib))]
+    new_prev = jnp.transpose(ola).reshape(hop)
+    return stream, hist, new_prev
+
+
+def mvdr_mega(x, tail, out_prev, hist, d_ib, w_idx, ib, nfft: int,
+              w_hist: int, mag_threshold: float, refine: bool = False,
+              interpret: bool = False,
+              frames_per_step: int = FRAMES_PER_STEP):
+    """Fused MVDR step: x (M, S) audio, tail (M, hop) analysis carry,
+    out_prev (hop,) OLA carry, hist (W, M, NIB) complex history, d_ib
+    (U, M, NIB) complex steering over the in-band bins ``ib``; w_idx (T,)
+    steering index per frame. Returns (audio (S,), hist', out_prev')."""
+    hs, hist_r, hist_i, mask, t, nibp, hop = _prep(x, tail, hist, ib, nfft)
+    n2 = nfft // 128
+    ibj = jnp.asarray(np.asarray(ib))
+    u = d_ib.shape[0]
+    d_p = jnp.zeros((u, 1, d_ib.shape[1], nibp), jnp.float32)
+    d_r = d_p.at[..., ibj].set(d_ib.real[:, None].astype(jnp.float32))
+    d_i = d_p.at[..., ibj].set(d_ib.imag[:, None].astype(jnp.float32))
+    if u > 1:
+        d_r, d_i = d_r[w_idx], d_i[w_idx]
+    audio, ring_r, ring_i, ola = _mega_call(
+        hs, hist_r, hist_i, d_r, d_i, mask, nfft, w_hist, mag_threshold,
+        "mvdr", refine, interpret, frames_per_step)
+    return _finish(audio, ring_r, ring_i, ola, ib, t, w_hist, hop,
+                   out_prev, n2)
+
+
+def lcmv_mega(x, tail, out_prev, hist, c_ib, idx, ib, nfft: int,
+              w_hist: int, mag_threshold: float, refine: bool = False,
+              interpret: bool = False,
+              frames_per_step: int = FRAMES_PER_STEP):
+    """Fused LCMV step: c_ib (U, S_cap, M, NIB) complex constraint sets
+    (inactive slots all-zero, detected in-kernel per bin); idx (T,)
+    control-row index per frame. Returns (audio (S,), hist', out_prev')."""
+    hs, hist_r, hist_i, mask, t, nibp, hop = _prep(x, tail, hist, ib, nfft)
+    n2 = nfft // 128
+    ibj = jnp.asarray(np.asarray(ib))
+    u, s_cap = c_ib.shape[:2]
+    c_p = jnp.zeros((u, s_cap, c_ib.shape[2], nibp), jnp.float32)
+    c_r = c_p.at[..., ibj].set(c_ib.real.astype(jnp.float32))
+    c_i = c_p.at[..., ibj].set(c_ib.imag.astype(jnp.float32))
+    if u > 1:
+        c_r, c_i = c_r[idx], c_i[idx]
+    audio, ring_r, ring_i, ola = _mega_call(
+        hs, hist_r, hist_i, c_r, c_i, mask, nfft, w_hist, mag_threshold,
+        "lcmv", refine, interpret, frames_per_step)
+    return _finish(audio, ring_r, ring_i, ola, ib, t, w_hist, hop,
+                   out_prev, n2)

@@ -148,14 +148,37 @@ class LcmvModel(BatchableConstrainedModel):
                                      self.geom.num_mics, len(self.ib)),
                                     self.cdtype))
 
+    def _strategy(self) -> str:
+        """See MvdrModel._strategy — same tri-state selection for the
+        fused streaming constraint solve, with the constraint planes
+        counted against the VMEM scratch budget."""
+        from beamform_tpu.models.mvdr import select_solver_strategy3
+        return select_solver_strategy3(self.params.solver, self.cdtype,
+                                       self.engine, self.geom.num_mics,
+                                       self.ib, s_cap=len(self.interf) + 1)
+
     def _use_stream(self) -> bool:
-        """See MvdrModel._use_stream — same strategy selection for the
-        fused streaming constraint solve (kernels/lcmv_stream.py), with
-        the constraint planes counted against the VMEM scratch budget."""
-        from beamform_tpu.models.mvdr import select_solver_strategy
-        return select_solver_strategy(self.params.solver, self.cdtype,
-                                      self.geom.num_mics, len(self.ib),
-                                      s_cap=len(self.interf) + 1)
+        """See MvdrModel._use_stream."""
+        return self._strategy() in ("mega", "stream")
+
+    def _forward_mega(self, x, u_theta, u_angles, u_active, u_row0, idx,
+                      state):
+        """Mega-fused path (kernels/mega_stream.py): analysis, the
+        sliding-covariance constraint-space solve (lcmv.cpp:108-138) and
+        synthesis in ONE Pallas kernel — see MvdrModel._forward_mega for
+        the refinement-off rationale."""
+        p = self.params
+        carry, hist0 = state
+        c_uniq = self._constraints_traced(u_theta, u_angles, u_active,
+                                          u_row0)             # (U,Nib,M,S)
+        c_k = jnp.moveaxis(c_uniq, (1, 2, 3), (3, 2, 1))      # (U,S,M,Nib)
+        from beamform_tpu.kernels.mega_stream import lcmv_mega
+        audio, hist, prev = lcmv_mega(
+            x, carry.tail, carry.out_prev, hist0, c_k, jnp.asarray(idx),
+            self.ib, self.engine.fft_win, p.past_windows,
+            p.freq_mag_threshold, interpret=not common.on_tpu_device())
+        tail = x[:, -self.engine.hop:]
+        return audio * p.out_amp, (common.WolaCarry(tail, prev), hist)
 
     def _forward_stream(self, x, u_theta, u_angles, u_active, u_row0, idx,
                         state):
@@ -241,7 +264,11 @@ class LcmvModel(BatchableConstrainedModel):
         return out * p.out_amp, (common.WolaCarry(tail, prev), hist)
 
     def _forward(self, x, u_theta, u_angles, u_active, u_row0, idx, state):
-        if self._use_stream():
+        strategy = self._strategy()
+        if strategy == "mega":
+            return self._forward_mega(x, u_theta, u_angles, u_active,
+                                      u_row0, idx, state)
+        if strategy == "stream":
             return self._forward_stream(x, u_theta, u_angles, u_active,
                                         u_row0, idx, state)
         p = self.params

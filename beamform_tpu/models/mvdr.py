@@ -93,6 +93,38 @@ def select_solver_strategy(solver: str, cdtype, m: int, nib: int,
     return on_tpu_device() and cdtype == jnp.complex64 and fits
 
 
+def select_solver_strategy3(solver: str, cdtype, engine, m: int, ib,
+                            s_cap: int = 0) -> str:
+    """Tri-state MVDR/LCMV solver policy: "mega" | "stream" | "dense".
+
+    "auto" prefers the mega-fused kernel (kernels/mega_stream.py:
+    analysis -> solve -> synthesis in one Pallas program) on a TPU float32
+    engine whose band coverage and scratch fit on-core; then the
+    three-stage stream kernel; then the dense block pipeline. "mega"
+    forces the fused kernel (interpret mode off-TPU — the test hook);
+    "stream"/"sparse"/"dense" behave exactly as select_solver_strategy.
+    """
+    from beamform_tpu.kernels.mega_stream import mega_fits
+    from beamform_tpu.models.common import use_wola_kernels
+    nfft = engine.fft_win
+    nib = len(ib)
+    if solver == "mega":
+        if cdtype != jnp.complex64:
+            raise ValueError("the mega solver is a float32 strategy; "
+                             "use solver='dense' with float64")
+        if not mega_fits(m, ib, nfft, s_cap):
+            raise ValueError(
+                f"solver='mega' exceeds the fused kernel's on-core "
+                f"capacity ({m} mics, band to bin {int(np.max(ib))}, "
+                f"nfft {nfft}) — use solver='stream' or 'dense'")
+        return "mega"
+    if solver == "auto":
+        if use_wola_kernels(engine) and mega_fits(m, ib, nfft, s_cap):
+            return "mega"
+    return ("stream" if select_solver_strategy(solver, cdtype, m, nib,
+                                               s_cap) else "dense")
+
+
 def batched_inv(a, polish: bool = True, pallas_min_batch: int = 2048):
     """Batched complex matrix inverse (replaces Eigen .inverse()).
 
@@ -174,15 +206,40 @@ class MvdrModel(BatchableModel):
         cb = max(8, min(128, int(budget) - w, t))
         return cb
 
+    def _strategy(self) -> str:
+        """Solver strategy: "mega" (one fused Pallas program — the TPU
+        float32 production path), "stream" (three-stage fused kernels) or
+        "dense" (block-scan pipeline). See select_solver_strategy3."""
+        return select_solver_strategy3(self.params.solver, self.cdtype,
+                                       self.engine, self.geom.num_mics,
+                                       self.ib)
+
     def _use_stream(self) -> bool:
-        """The fused streaming Pallas solve (kernels/mvdr_stream.py) is the
-        TPU float32 production path; ``solver`` picks the strategy:
-        "auto" = stream on TPU float32 when the kernel's on-core capacity
-        allows (see select_solver_strategy), dense elsewhere; "dense"
-        forces the block-scan pipeline; "stream"/"sparse" force the kernel
-        (in interpret mode off-TPU — the test hook)."""
-        return select_solver_strategy(self.params.solver, self.cdtype,
-                                      self.geom.num_mics, len(self.ib))
+        """Whether a fused stream kernel (mega or three-stage) carries the
+        solve — the sharded execution path keys off this to shard the
+        stream kernel over bin groups (parallel/sharded.py)."""
+        return self._strategy() in ("mega", "stream")
+
+    def _forward_mega(self, x, thetas, w_idx, state):
+        """Mega-fused path (kernels/mega_stream.py): WOLA analysis, the
+        sliding-covariance MVDR solve and the synthesis all run in ONE
+        Pallas kernel marching the frame axis — raw audio in, beamformed
+        audio out, spectra never leave VMEM. Refinement is off (measured
+        on-chip: unrefined deviates 8.5e-5/3.8e-4 from the f64 oracle on
+        white/speech input vs 8.9e-5/3.6e-4 refined)."""
+        p = self.params
+        carry, hist0 = state
+        w_uniq = common.weights_for_thetas(self.geom, self.freqs, thetas,
+                                           self.rdtype, self.cdtype)
+        d_ib = w_uniq[:, :, jnp.asarray(self.ib)]
+        from beamform_tpu.kernels.mega_stream import mvdr_mega
+        audio, hist, prev = mvdr_mega(
+            x, carry.tail, carry.out_prev, hist0, d_ib,
+            jnp.asarray(w_idx), self.ib, self.engine.fft_win,
+            p.past_windows, p.freq_mag_threshold,
+            interpret=not common.on_tpu_device())
+        tail = x[:, -self.engine.hop:]
+        return audio * p.out_amp, (common.WolaCarry(tail, prev), hist)
 
     def _forward_stream(self, x, thetas, w_idx, state):
         """Fused-kernel path: the per-frame sliding covariance, Cholesky
@@ -273,7 +330,10 @@ class MvdrModel(BatchableModel):
         return out * p.out_amp, (common.WolaCarry(tail, prev), hist)
 
     def _forward(self, x, thetas, w_idx, state):
-        if self._use_stream():
+        strategy = self._strategy()
+        if strategy == "mega":
+            return self._forward_mega(x, thetas, w_idx, state)
+        if strategy == "stream":
             return self._forward_stream(x, thetas, w_idx, state)
         p = self.params
         m = self.geom.num_mics
