@@ -60,13 +60,43 @@ from beamform_tpu.kernels.wola_pallas import _acc_term, _fwd_consts
 from beamform_tpu.kernels.mvdr_stream import (
     _cmul,
     _cmul_conj,
-    cholesky_factor,
+    cholesky_factor_inplace,
     make_solvers,
     sliding_update,
 )
 from beamform_tpu.kernels.lcmv_stream import _small_gj_inverse
 
 FRAMES_PER_STEP = 8
+
+# One pallas launch covers at most this many frames; longer streams chain
+# segments (ring/OLA carries) inside one jit. Keeping each launch's outputs
+# small matters on-chip: XLA's memory-space assignment likes to place the
+# custom call's outputs in VMEM (S(1)), so the audio output's footprint
+# adds to the kernel's ~19 MB scoped set — one big launch worked AOT but
+# crashed the runtime once total pressure passed the chip's usable VMEM.
+SEG_FRAMES = 96
+
+
+def _bf16_pair(w: np.ndarray) -> np.ndarray:
+    """Split an f32 matrix into a stacked (2, ...) bf16 hi/lo pair for the
+    3-pass MXU dot (numpy, jit-capture-safe)."""
+    hi = w.astype(jnp.bfloat16)
+    lo = (w - hi.astype(np.float32)).astype(jnp.bfloat16)
+    return np.stack([np.asarray(hi), np.asarray(lo)])
+
+
+def _dot3(a, w_pair):
+    """~f32 matmul in 3 bf16 MXU passes: a (R, K) f32, w_pair (2, K, N)
+    bf16 hi/lo. Mosaic's pallas dots only support DEFAULT (1-pass bf16,
+    ~2e-2 here) or HIGHEST (6-pass, the old default); the explicit
+    hi·hi + hi·lo + lo·hi split drops only the lo·lo term (~2^-18
+    relative), matching XLA's Precision.HIGH at half of HIGHEST's MXU
+    time (measured ~2.5 ms of 6-pass MXU per 20 s at 16 ch)."""
+    a_hi = a.astype(jnp.bfloat16)
+    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    d = functools.partial(jax.lax.dot,
+                          preferred_element_type=jnp.float32)
+    return d(a_hi, w_pair[0]) + (d(a_lo, w_pair[0]) + d(a_hi, w_pair[1]))
 
 
 @lru_cache(maxsize=8)
@@ -97,21 +127,15 @@ def _analyze_block(prev_all, cur_all, w1r, w1i, twr, twi, wlo, whi,
     shape and broadcast over frames. Returns
     (spec_r, spec_i (fb, m, k2cov*128), mag (fb, 1, k2cov*128))."""
     minv = np.float32(1.0 / (m * nfft))
-    hp = jax.lax.Precision.HIGHEST
     # window/twiddle rows stay at their natural (n2*m, .) shape in VMEM and
     # broadcast over the frame axis via free leading-dim reshapes (host-side
     # fb-tiling of these consts cost ~3 MB and pushed the kernel over the
-    # scoped-VMEM cliff at production shapes)
+    # scoped-VMEM cliff at production shapes); w1r/w1i arrive as stacked
+    # (2, 128, 128) bf16 hi/lo pairs for the 3-pass dots (see _dot3)
     p = (prev_all.reshape(fb, n2 * m, 64) * wlo).reshape(fb * n2 * m, 64)
     c = (cur_all.reshape(fb, n2 * m, 64) * whi).reshape(fb * n2 * m, 64)
-    f1r = (jax.lax.dot(p, w1r[:64], precision=hp,
-                       preferred_element_type=jnp.float32)
-           + jax.lax.dot(c, w1r[64:], precision=hp,
-                         preferred_element_type=jnp.float32))
-    f1i = (jax.lax.dot(p, w1i[:64], precision=hp,
-                       preferred_element_type=jnp.float32)
-           + jax.lax.dot(c, w1i[64:], precision=hp,
-                         preferred_element_type=jnp.float32))
+    f1r = _dot3(p, w1r[:, :64]) + _dot3(c, w1r[:, 64:])
+    f1i = _dot3(p, w1i[:, :64]) + _dot3(c, w1i[:, 64:])
     f1r = f1r.reshape(fb, n2 * m, 128)
     f1i = f1i.reshape(fb, n2 * m, 128)
     gr = (f1r * twr - f1i * twi).reshape(fb, n2, m, 128)
@@ -139,7 +163,6 @@ def _synthesize_block(y_r, y_i, war, wai, s_twr, s_twi, wbr, wbi, win_s,
     k2cov*128) leading-bin spectra (bins >= k2cov*128 implicitly zero) ->
     windowed stride-layout frames (fb, n2, 128). Bin 0 is halved here; the
     Hermitian x2 lives in ``war/wai``."""
-    hp = jax.lax.Precision.HIGHEST
     lane = jax.lax.broadcasted_iota(jnp.int32, (fb, 1, k2cov * 128), 2)
     half0 = jnp.where(lane == 0, 0.5, 1.0)
     y_r = y_r * half0
@@ -156,21 +179,18 @@ def _synthesize_block(y_r, y_i, war, wai, s_twr, s_twi, wbr, wbi, win_s,
           .reshape(fb * n2, 128))
     gi = ((acc_r * s_twi[None] + acc_i * s_twr[None])
           .reshape(fb * n2, 128))
-    xr = (jax.lax.dot(gr, wbr, precision=hp,
-                      preferred_element_type=jnp.float32)
-          - jax.lax.dot(gi, wbi, precision=hp,
-                        preferred_element_type=jnp.float32))
+    xr = _dot3(gr, wbr) - _dot3(gi, wbi)   # (2,128,128) bf16 hi/lo pairs
     return xr.reshape(fb, n2, 128) * win_s
 
 
-def _mvdr_solve_frame(sr, si, ar, ai, ur, ui, linv_ref, solvers,
+def _mvdr_solve_frame(sr, si, ur, ui, linv_ref, solvers,
                       d_r, d_i, xc_r, xc_i, eyec, eye, m: int, refine: bool):
-    """Loading + Cholesky + (optionally refined) solve + apply:
+    """Loading + in-place Cholesky + (optionally refined) solve + apply:
     returns (y_r, y_i) (1, 1, nibp)."""
     fwd_solve, bwd_solve, refined_solve = solvers
-    ar[:] = sr[:] * eyec
-    ai[:] = si[:] * eyec
-    cholesky_factor(ar, ai, ur, ui, linv_ref, m)
+    ur[:] = sr[:] * eyec
+    ui[:] = si[:] * eyec
+    cholesky_factor_inplace(ur, ui, linv_ref, m)
     if refine:
         u_r, u_i = refined_solve(sr, si, eye, d_r, d_i)
     else:
@@ -187,15 +207,15 @@ def _mvdr_solve_frame(sr, si, ar, ai, ur, ui, linv_ref, solvers,
             (num_i * den_r + num_r * den_i) * scale)
 
 
-def _lcmv_solve_frame(sr, si, ar, ai, ur, ui, xsr, xsi, linv_ref, solvers,
+def _lcmv_solve_frame(sr, si, ur, ui, xsr, xsi, linv_ref, solvers,
                       c_rows_r, c_rows_i, xc_r, xc_i, eyec, eye,
                       m: int, s_cap: int, refine: bool):
     """Constraint-space solve (lcmv.cpp:108-138) — see
     kernels/lcmv_stream.py for the algorithm notes."""
     fwd_solve, bwd_solve, refined_solve = solvers
-    ar[:] = sr[:] * eyec
-    ai[:] = si[:] * eyec
-    cholesky_factor(ar, ai, ur, ui, linv_ref, m)
+    ur[:] = sr[:] * eyec
+    ui[:] = si[:] * eyec
+    cholesky_factor_inplace(ur, ui, linv_ref, m)
 
     for a in range(s_cap):
         if refine:
@@ -256,7 +276,7 @@ def _kernel(hops_ref, init_hop_ref, hist_r_ref, hist_i_ref,
             war_ref, wai_ref, stwr_ref, stwi_ref, wbr_ref, wbi_ref,
             wins_ref,
             out_ref, ring_out_r, ring_out_i, ola_out_ref,
-            sr, si, gr, gi, ar, ai, ur, ui, linv_ref,
+            sr, si, gr, gi, ur, ui, linv_ref,
             ring_r, ring_i, prev_hop, ola, *extra_scratch,
             m: int, n2: int, k2cov: int, nfft: int, w_hist: int, fb: int,
             t_real: int, s_cap: int, per_frame_ctrl: bool, refine: bool,
@@ -345,12 +365,12 @@ def _kernel(hops_ref, init_hop_ref, hist_r_ref, hist_i_ref,
             def _solve():
                 if kind == "mvdr":
                     r_, i_ = _mvdr_solve_frame(
-                        sr, si, ar, ai, ur, ui, linv_ref, solvers,
+                        sr, si, ur, ui, linv_ref, solvers,
                         d_r, d_i, xc_r, xc_i, eyec, eye, m, refine)
                 else:
                     xsr, xsi = extra_scratch[0], extra_scratch[1]
                     r_, i_ = _lcmv_solve_frame(
-                        sr, si, ar, ai, ur, ui, xsr, xsi, linv_ref,
+                        sr, si, ur, ui, xsr, xsi, linv_ref,
                         solvers, c_rows_r, c_rows_i, xc_r, xc_i, eyec,
                         eye, m, s_cap, refine)
                 ysr[f:f + 1] = r_
@@ -418,13 +438,16 @@ def _mega_call(hs, hist_r, hist_i, ctrl_r, ctrl_i, band_mask,
     m = hs.shape[2]
     nibp = band_mask.shape[-1]
     k2cov = nibp // 128
-    fb = frames_per_step
+    fb = int(os.environ.get("BEAMFORM_MEGA_FB", frames_per_step))
     tp = -(-t // fb) * fb
     u, s_cap = ctrl_r.shape[:2]
     per_frame_ctrl = u > 1
 
     w1r, w1i, twr, twi, win_lo, win_hi, _ = _fwd_consts(nfft, m)
     war, wai, stwr, stwi, wbr, wbi = _synth_consts(nfft, k2cov)
+    # the stage-1 / stage-B DFT matrices feed 3-pass bf16 dots (_dot3)
+    w1r, w1i = _bf16_pair(w1r), _bf16_pair(w1i)
+    wbr, wbi = _bf16_pair(wbr), _bf16_pair(wbi)
     from beamform_tpu.dsp.wola import sqrt_hann
     win_s = sqrt_hann(nfft, np.float32).reshape(128, n2).T  # (n2, 128)
 
@@ -459,12 +482,12 @@ def _mega_call(hs, hist_r, hist_i, ctrl_r, ctrl_i, band_mask,
             const((w_hist, m, nibp)), const((w_hist, m, nibp)),
             ctrl_spec, ctrl_spec,
             const((1, 1, nibp)),
-            const((128, 128)), const((128, 128)),
+            const((2, 128, 128)), const((2, 128, 128)),
             const((n2 * m, 128)), const((n2 * m, 128)),
             const((n2 * m, 64)), const((n2 * m, 64)),
             const((k2cov, n2, 128)), const((k2cov, n2, 128)),
             const((n2, 128)), const((n2, 128)),
-            const((128, 128)), const((128, 128)),
+            const((2, 128, 128)), const((2, 128, 128)),
             const((n2, 128)),
         ],
         out_specs=[
@@ -480,7 +503,7 @@ def _mega_call(hs, hist_r, hist_i, ctrl_r, ctrl_i, band_mask,
             jax.ShapeDtypeStruct((n2, 64), jnp.float32),
         ],
         scratch_shapes=(
-            [pltpu.VMEM((m, m, nibp), jnp.float32)] * 8
+            [pltpu.VMEM((m, m, nibp), jnp.float32)] * 6
             + [pltpu.VMEM((m, 1, nibp), jnp.float32)]
             + [pltpu.VMEM((w_hist, m, nibp), jnp.float32)] * 2
             + [pltpu.VMEM((n2 * m, 64), jnp.float32)]
@@ -493,7 +516,9 @@ def _mega_call(hs, hist_r, hist_i, ctrl_r, ctrl_i, band_mask,
         # Mosaic stack spill is ~24.3 MB — just over the 24 MB default
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(os.environ.get(
-                "BEAMFORM_MEGA_VMEM", 32 * 1024 * 1024))),
+                "BEAMFORM_MEGA_VMEM", 32 * 1024 * 1024)),
+            internal_scratch_in_bytes=int(os.environ.get(
+                "BEAMFORM_MEGA_ISCRATCH", 0)) or None),
         interpret=interpret,
     )(hops, hs[0:1], hist_r, hist_i, ctrl_r, ctrl_i, band_mask,
       jnp.asarray(w1r), jnp.asarray(w1i), jnp.asarray(twr),
@@ -503,6 +528,40 @@ def _mega_call(hs, hist_r, hist_i, ctrl_r, ctrl_i, band_mask,
       jnp.asarray(win_s))
     audio, ring_r, ring_i, ola = outs
     return audio[:t], ring_r, ring_i, ola
+
+
+def _mega_segments(hs, hist_r, hist_i, ctrl_r, ctrl_i, band_mask,
+                   nfft: int, w_hist: int, mag_threshold: float, kind: str,
+                   refine: bool, interpret: bool, frames_per_step: int):
+    """Chain ≤SEG_FRAMES-frame pallas launches over the full stream: each
+    segment's leading hop is the previous segment's last hop (hs packs the
+    carry at index 0), the covariance ring planes roll to oldest-first
+    between launches (the same layout the in-kernel warm-up replays), and
+    the OLA half-frame folds into the next segment's first output row.
+    Identical arithmetic to the chunked model path (tests pin chunked ==
+    offline). Returns (audio (t, n2, 64), ring planes OLDEST-FIRST x2,
+    ola carry (n2, 64))."""
+    t = hs.shape[0] - 1
+    seg = int(os.environ.get("BEAMFORM_MEGA_SEG", SEG_FRAMES))
+    per_frame = ctrl_r.shape[0] > 1
+    audios = []
+    rr, ri = hist_r, hist_i
+    ola = None
+    for s0 in range(0, t, seg):
+        s1 = min(t, s0 + seg)
+        cr = ctrl_r[s0:s1] if per_frame else ctrl_r
+        ci = ctrl_i[s0:s1] if per_frame else ctrl_i
+        audio, ring_r, ring_i, ola_n = _mega_call(
+            hs[s0:s1 + 1], rr, ri, cr, ci, band_mask, nfft, w_hist,
+            mag_threshold, kind, refine, interpret, frames_per_step)
+        if ola is not None:
+            audio = audio.at[0].add(ola)
+        audios.append(audio)
+        rr = jnp.roll(ring_r, -((s1 - s0) % w_hist), axis=0)
+        ri = jnp.roll(ring_i, -((s1 - s0) % w_hist), axis=0)
+        ola = ola_n
+    return (audios[0] if len(audios) == 1 else
+            jnp.concatenate(audios, axis=0)), rr, ri, ola
 
 
 def mega_k2cov(ib) -> int:
@@ -521,7 +580,7 @@ def mega_fits(m: int, ib, nfft: int, s_cap: int = 0,
     nibp = mega_k2cov(ib) * 128
     n2 = nfft // 128
     w_hist_max = 16          # conservative: ring scales with past_windows
-    scratch = (8 * m * m + m + 2 * w_hist_max * m + 2 * s_cap * m) * nibp * 4
+    scratch = (6 * m * m + m + 2 * w_hist_max * m + 2 * s_cap * m) * nibp * 4
     scratch += (n2 * m * 64 + n2 * 64) * 4
     return scratch <= budget
 
@@ -546,17 +605,16 @@ def _prep(x, tail, hist, ib, nfft: int):
     return hs, hist_r, hist_i, jnp.asarray(mask), t, nibp, hop
 
 
-def _finish(audio, ring_r, ring_i, ola, ib, t: int, w_hist: int, hop: int,
+def _finish(audio, ring_r, ring_i, ola, ib, t: int, hop: int,
             out_prev, n2: int):
-    """De-stride the audio, fold the initial OLA carry into hop 0, unroll
-    the ring into oldest-first history frames, de-stride the carry."""
+    """De-stride the audio, fold the initial OLA carry into hop 0, select
+    the in-band bins of the (already oldest-first) history planes,
+    de-stride the carry."""
     prev_s = jnp.transpose(jnp.asarray(out_prev, jnp.float32)
                            .reshape(64, n2))               # (n2, 64)
     audio = audio.at[0].add(prev_s)
     stream = jnp.transpose(audio, (0, 2, 1)).reshape(t * hop)
-    ring = jax.lax.complex(ring_r, ring_i)
-    hist = jnp.roll(ring, -(t % w_hist), axis=0)[..., jnp.asarray(
-        np.asarray(ib))]
+    hist = jax.lax.complex(ring_r, ring_i)[..., jnp.asarray(np.asarray(ib))]
     new_prev = jnp.transpose(ola).reshape(hop)
     return stream, hist, new_prev
 
@@ -578,11 +636,10 @@ def mvdr_mega(x, tail, out_prev, hist, d_ib, w_idx, ib, nfft: int,
     d_i = d_p.at[..., ibj].set(d_ib.imag[:, None].astype(jnp.float32))
     if u > 1:
         d_r, d_i = d_r[w_idx], d_i[w_idx]
-    audio, ring_r, ring_i, ola = _mega_call(
+    audio, ring_r, ring_i, ola = _mega_segments(
         hs, hist_r, hist_i, d_r, d_i, mask, nfft, w_hist, mag_threshold,
         "mvdr", refine, interpret, frames_per_step)
-    return _finish(audio, ring_r, ring_i, ola, ib, t, w_hist, hop,
-                   out_prev, n2)
+    return _finish(audio, ring_r, ring_i, ola, ib, t, hop, out_prev, n2)
 
 
 def lcmv_mega(x, tail, out_prev, hist, c_ib, idx, ib, nfft: int,
@@ -601,8 +658,7 @@ def lcmv_mega(x, tail, out_prev, hist, c_ib, idx, ib, nfft: int,
     c_i = c_p.at[..., ibj].set(c_ib.imag.astype(jnp.float32))
     if u > 1:
         c_r, c_i = c_r[idx], c_i[idx]
-    audio, ring_r, ring_i, ola = _mega_call(
+    audio, ring_r, ring_i, ola = _mega_segments(
         hs, hist_r, hist_i, c_r, c_i, mask, nfft, w_hist, mag_threshold,
         "lcmv", refine, interpret, frames_per_step)
-    return _finish(audio, ring_r, ring_i, ola, ib, t, w_hist, hop,
-                   out_prev, n2)
+    return _finish(audio, ring_r, ring_i, ola, ib, t, hop, out_prev, n2)

@@ -91,6 +91,32 @@ def cholesky_factor(ar, ai, ur, ui, linv_ref, m):
             ai[k + 1:] = ai[k + 1:] - (cr * ri2 + ci * rr2)
 
 
+def cholesky_factor_inplace(ur, ui, linv_ref, m):
+    """Right-looking Cholesky WITHOUT a separate workspace: ur/ui arrive
+    holding the loaded Hermitian A and leave holding U = L^H (plus linv),
+    saving the 2x(M, M, NIB) ar/ai scratch of :func:`cholesky_factor`.
+
+    Row k is scaled in place (ur[k] = a_k / sqrt(piv)); the trailing-block
+    update then recovers the unscaled pivot row as ur[k] * linv[k]
+    (a_k / piv) — rows below k are still raw A values, so the column
+    slice reads stay exact. Same arithmetic as cholesky_factor up to the
+    piv-division order (a*pinv vs (a*il)*il, identical in f32 rounding
+    only when piv is a power of two — in practice ~1 ulp)."""
+    for k in range(m):
+        piv = ur[k:k + 1, k:k + 1, :]                      # raw a[k,k]
+        il = jax.lax.rsqrt(piv)
+        ur[k:k + 1] = ur[k:k + 1] * il
+        ui[k:k + 1] = ui[k:k + 1] * il
+        linv_ref[k:k + 1] = il
+        if k + 1 < m:
+            rr2 = ur[k:k + 1] * il                          # = a_k / piv
+            ri2 = ui[k:k + 1] * il
+            cr = ur[k + 1:, k:k + 1, :]                 # (m-k-1,1,nib)
+            ci = ui[k + 1:, k:k + 1, :]
+            ur[k + 1:] = ur[k + 1:] - (cr * rr2 - ci * ri2)
+            ui[k + 1:] = ui[k + 1:] - (cr * ri2 + ci * rr2)
+
+
 def make_solvers(ur, ui, linv_ref, sub, m):
     """Triangular solve closures over the stored factor U = L^H."""
 

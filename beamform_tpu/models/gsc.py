@@ -138,10 +138,16 @@ class GscModel(BatchableModel):
                 and self.params.filter_size == 128    # the reference default
                 and num_samples % 1024 == 0)
 
-    def _block_chunk(self, num_samples: int) -> int:
+    def _block_chunk(self, num_samples: int, batch: int = 1) -> int:
         """Grid-step chunk for the block kernel (must divide the sample
-        count and hold whole 128-sample subtiles)."""
-        return 384 if num_samples % 384 == 0 else 256
+        count and hold whole 128-sample subtiles). The packed Gram
+        difference stream's VMEM block is (chunk, B, 128) f32 double-
+        buffered, so the chunk shrinks as the stream batch grows."""
+        cap = max(128, (384 * 32 // max(batch, 1)) // 128 * 128)
+        for c in (min(384, cap), 256, 128):
+            if c <= cap and num_samples % c == 0:
+                return c
+        return 128
 
     def _adaptive_kernel_batched(self, aligned_b, gstate):
         """Route a (B, M, S) aligned batch through the block-factorized
@@ -158,7 +164,8 @@ class GscModel(BatchableModel):
         out, blk, flt, lo, gram, uold = gsc_block_pallas_batched(
             aligned_b, gstate.block, gstate.filt, gstate.last_out,
             gstate.gram, gstate.uold, self.params,
-            chunk=self._block_chunk(aligned_b.shape[-1]))
+            chunk=self._block_chunk(aligned_b.shape[-1],
+                                    aligned_b.shape[0]))
         return out, GscState(blk, flt, lo, gram, uold)
 
     def _forward(self, x, thetas, w_idx, state):

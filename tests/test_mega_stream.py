@@ -70,6 +70,25 @@ def test_mega_streaming_equals_offline():
     assert np.abs(y_chunks - y_off[:len(y_chunks)]).max() / scale < 2e-4
 
 
+def test_mega_segmented_equals_single_launch(monkeypatch):
+    """Long streams chain multiple pallas launches (kernels/mega_stream.py
+    SEG_FRAMES) with ring/OLA carries between segments; forcing tiny
+    segments must reproduce the single-launch output (the warm-up replay
+    rebuilds the covariance epoch-exactly)."""
+    engine = EngineConfig(sample_rate=48000, window_size=HOP,
+                          dtype="float32")
+    x = make_scene(AIRA3, seconds=0.25, quiet_hops=8, hop=HOP)
+    model = get_model("mvdr", engine, cfg3(), dict(BASE, solver="mega"))
+    y_one = np.asarray(model.process(x, 20.0))
+
+    monkeypatch.setenv("BEAMFORM_MEGA_SEG", "8")
+    seg_model = get_model("mvdr", engine, cfg3(), dict(BASE, solver="mega"))
+    y_seg = np.asarray(seg_model.process(x, 20.0))
+    scale = max(np.abs(y_one).max(), 1e-12)
+    assert np.abs(y_seg - y_one).max() / scale < 2e-5, (
+        np.abs(y_seg - y_one).max() / scale)
+
+
 def test_mega_rejects_float64():
     engine = EngineConfig(sample_rate=48000, window_size=HOP,
                           dtype="float64")
