@@ -56,7 +56,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from beamform_tpu.kernels.wola_pallas import _acc_term, _fwd_consts
+from beamform_tpu.kernels.wola_pallas import (_acc_term, _bf16_pair, _dot3,
+                                              _fwd_consts)
 from beamform_tpu.kernels.mvdr_stream import (
     _cmul,
     _cmul_conj,
@@ -75,28 +76,6 @@ FRAMES_PER_STEP = 8
 # adds to the kernel's ~19 MB scoped set — one big launch worked AOT but
 # crashed the runtime once total pressure passed the chip's usable VMEM.
 SEG_FRAMES = 96
-
-
-def _bf16_pair(w: np.ndarray) -> np.ndarray:
-    """Split an f32 matrix into a stacked (2, ...) bf16 hi/lo pair for the
-    3-pass MXU dot (numpy, jit-capture-safe)."""
-    hi = w.astype(jnp.bfloat16)
-    lo = (w - hi.astype(np.float32)).astype(jnp.bfloat16)
-    return np.stack([np.asarray(hi), np.asarray(lo)])
-
-
-def _dot3(a, w_pair):
-    """~f32 matmul in 3 bf16 MXU passes: a (R, K) f32, w_pair (2, K, N)
-    bf16 hi/lo. Mosaic's pallas dots only support DEFAULT (1-pass bf16,
-    ~2e-2 here) or HIGHEST (6-pass, the old default); the explicit
-    hi·hi + hi·lo + lo·hi split drops only the lo·lo term (~2^-18
-    relative), matching XLA's Precision.HIGH at half of HIGHEST's MXU
-    time (measured ~2.5 ms of 6-pass MXU per 20 s at 16 ch)."""
-    a_hi = a.astype(jnp.bfloat16)
-    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    d = functools.partial(jax.lax.dot,
-                          preferred_element_type=jnp.float32)
-    return d(a_hi, w_pair[0]) + (d(a_lo, w_pair[0]) + d(a_hi, w_pair[1]))
 
 
 @lru_cache(maxsize=8)

@@ -47,7 +47,29 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 FRAMES_PER_STEP = 8
-_HP = jax.lax.Precision.HIGHEST
+_HP = jax.lax.Precision.HIGHEST   # used off-kernel; in-kernel dots are _dot3
+
+
+def _bf16_pair(w: np.ndarray) -> np.ndarray:
+    """Split an f32 matrix into a stacked (2, ...) bf16 hi/lo pair for the
+    3-pass MXU dot (numpy, jit-capture-safe)."""
+    hi = w.astype(jnp.bfloat16)
+    lo = (w - hi.astype(np.float32)).astype(jnp.bfloat16)
+    return np.stack([np.asarray(hi), np.asarray(lo)])
+
+
+def _dot3(a, w_pair):
+    """~f32 matmul in 3 bf16 MXU passes: a (R, K) f32, w_pair (2, K, N)
+    bf16 hi/lo. Mosaic's pallas dots only support DEFAULT (1-pass bf16,
+    ~2e-2 relative here) or HIGHEST (6-pass f32); the explicit
+    hi*hi + hi*lo + lo*hi split drops only the lo*lo term (~2^-18
+    relative, well inside the kernels' 1e-5 test budget vs the rFFT
+    path), at half of HIGHEST's MXU time."""
+    a_hi = a.astype(jnp.bfloat16)
+    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    d = functools.partial(jax.lax.dot,
+                          preferred_element_type=jnp.float32)
+    return d(a_hi, w_pair[0]) + (d(a_lo, w_pair[0]) + d(a_hi, w_pair[1]))
 
 
 @lru_cache(maxsize=8)
@@ -101,14 +123,8 @@ def _fwd_kernel(pv_ref, cu_ref, w1r_ref, w1i_ref, twr_ref, twi_ref,
         # sum_n1 x[n1] W1[n1,k1] = sum_{n1<64} prev.. + sum_{n1>=64} cur..
         p = pv_ref[f].reshape(n2 * m, 64) * wlo_ref[:]
         c = cu_ref[f].reshape(n2 * m, 64) * whi_ref[:]
-        f1r = (jax.lax.dot(p, w1r_ref[:64], precision=_HP,
-                           preferred_element_type=jnp.float32)
-               + jax.lax.dot(c, w1r_ref[64:], precision=_HP,
-                             preferred_element_type=jnp.float32))
-        f1i = (jax.lax.dot(p, w1i_ref[:64], precision=_HP,
-                           preferred_element_type=jnp.float32)
-               + jax.lax.dot(c, w1i_ref[64:], precision=_HP,
-                             preferred_element_type=jnp.float32))
+        f1r = _dot3(p, w1r_ref[:, :64]) + _dot3(c, w1r_ref[:, 64:])
+        f1i = _dot3(p, w1i_ref[:, :64]) + _dot3(c, w1i_ref[:, 64:])
         gr = f1r * twr_ref[:] - f1i * twi_ref[:]
         gi = f1r * twi_ref[:] + f1i * twr_ref[:]
         for k2 in range(k2max):
@@ -178,7 +194,7 @@ def rfft_hops_pallas(hs, m: int, nfft: int, with_mag: bool = True,
         grid=(tp // fb, nchan),
         in_specs=[
             hop_spec, hop_spec,
-            const((128, 128)), const((128, 128)),
+            const((2, 128, 128)), const((2, 128, 128)),
             const((n2 * gc, 128)), const((n2 * gc, 128)),
             const((n2 * gc, 64)), const((n2 * gc, 64)),
         ],
@@ -198,7 +214,7 @@ def rfft_hops_pallas(hs, m: int, nfft: int, with_mag: bool = True,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=32 * 1024 * 1024),
         interpret=interpret,
-    )(pv, cu, jnp.asarray(w1r), jnp.asarray(w1i),
+    )(pv, cu, jnp.asarray(_bf16_pair(w1r)), jnp.asarray(_bf16_pair(w1i)),
       jnp.asarray(twr), jnp.asarray(twi),
       jnp.asarray(win_lo), jnp.asarray(win_hi))
     sr, si, mag = outs
@@ -283,12 +299,8 @@ def _inv_kernel(yr_ref, yi_ref, twr_ref, twi_ref, wbr_ref, wbi_ref,
         gr = zr * twr_ref[:] - zi * twi_ref[:]
         gi = zr * twi_ref[:] + zi * twr_ref[:]
         # stage B: x[N2*n1' + n2'] = Re sum_k1 G[n2', k1] WB[k1, n1']
-        xr = (jax.lax.dot(gr.reshape(cg * n2, 128), wbr_ref[:],
-                          precision=_HP,
-                          preferred_element_type=jnp.float32)
-              - jax.lax.dot(gi.reshape(cg * n2, 128), wbi_ref[:],
-                            precision=_HP,
-                            preferred_element_type=jnp.float32)
+        xr = (_dot3(gr.reshape(cg * n2, 128), wbr_ref[:])
+              - _dot3(gi.reshape(cg * n2, 128), wbi_ref[:])
               ).reshape(cg, n2, 128)
         p = xr * win_ref[:]                                 # (cg, n2, 128)
         # 50% overlap-add in stride layout: first half = lanes < 64
@@ -342,7 +354,7 @@ def irfft_ola_batch_pallas(y_full_r, y_full_i, window, out_prev, nfft: int,
         in_specs=[
             y_spec, y_spec,
             const((n2, 128)), const((n2, 128)),
-            const((128, 128)), const((128, 128)),
+            const((2, 128, 128)), const((2, 128, 128)),
             const((n2, 128)),
         ],
         out_specs=[
@@ -360,7 +372,8 @@ def irfft_ola_batch_pallas(y_full_r, y_full_i, window, out_prev, nfft: int,
             vmem_limit_bytes=32 * 1024 * 1024),
         interpret=interpret,
     )(y_full_r, y_full_i, jnp.asarray(twr), jnp.asarray(twi),
-      jnp.asarray(wbr), jnp.asarray(wbi), jnp.asarray(win_s))
+      jnp.asarray(_bf16_pair(wbr)), jnp.asarray(_bf16_pair(wbi)),
+      jnp.asarray(win_s))
     # the initial carry folds in outside: frame 0's first half adds
     # out_prev (the kernel starts each channel from a zero carry)
     out = out[:cc, :t]

@@ -265,8 +265,12 @@ def main():
         result["gate_pass_rate_speech"] = round(gate_pass_rate(
             xs, 1024, 48000, 0.001, 100.0, 16000.0), 4)
         table = {"das": round(xrt, 1)}
-        order = ["mvdr", "lcmv", "gsc", "gss", "phase", "phasempf", "mcra",
-                 "ref", "read"]
+        # lcmv measures last: the axon worker intermittently faults when a
+        # fresh process re-loads the lcmv mega program while a previous
+        # client's copy is being torn down — last place bounds the blast
+        # radius if the whole device context gets poisoned
+        order = ["mvdr", "gsc", "gss", "phase", "phasempf", "mcra",
+                 "ref", "read", "lcmv"]
         for name in order:
             if not budget_left():
                 table[name] = "SKIPPED(budget)"
