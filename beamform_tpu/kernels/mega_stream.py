@@ -327,7 +327,14 @@ def _kernel(hops_ref, init_hop_ref, hist_r_ref, hist_i_ref,
                 gi[:] = jnp.zeros(gi.shape, jnp.float32)
 
             fi = f if per_frame_ctrl else 0
-            if kind == "mvdr":
+            # LCMV with a single active constraint slot IS the MVDR
+            # formula (lcmv.cpp's constraint-space algebra at S=1 reduces
+            # to w = R^-1 c / (c^H R^-1 c); the inner product is a real
+            # Hermitian form, so the conjugate orientation difference is
+            # f32 noise) — route it through the MVDR solve body, which
+            # is the substantially smaller Mosaic program
+            mvdr_form = kind == "mvdr" or s_cap == 1
+            if mvdr_form:
                 d_r = ctrl_r_ref[fi, 0:1]
                 d_i = ctrl_i_ref[fi, 0:1]
             else:
@@ -342,7 +349,7 @@ def _kernel(hops_ref, init_hop_ref, hist_r_ref, hist_i_ref,
             # below is branch-free
             @pl.when(act)
             def _solve():
-                if kind == "mvdr":
+                if mvdr_form:
                     r_, i_ = _mvdr_solve_frame(
                         sr, si, ur, ui, linv_ref, solvers,
                         d_r, d_i, xc_r, xc_i, eyec, eye, m, refine)
@@ -450,7 +457,7 @@ def _mega_call(hs, hist_r, hist_i, ctrl_r, ctrl_i, band_mask,
         mag_threshold=float(mag_threshold), kind=kind)
 
     lcmv_scratch = ([pltpu.VMEM((s_cap, m, nibp), jnp.float32)] * 2
-                    if kind == "lcmv" else [])
+                    if kind == "lcmv" and s_cap > 1 else [])
     outs = pl.pallas_call(
         kernel,
         grid=(tp // fb,),

@@ -151,7 +151,10 @@ class LcmvModel(BatchableConstrainedModel):
     def _strategy(self) -> str:
         """See MvdrModel._strategy — same tri-state selection for the
         fused streaming constraint solve, with the constraint planes
-        counted against the VMEM scratch budget."""
+        counted against the VMEM scratch budget. (The mega path needs the
+        optimization barrier in _forward_mega: without it the combined
+        constraint-build + fused-kernel program intermittently faulted
+        the axon TPU worker; 10/10 clean runs with it.)"""
         from beamform_tpu.models.mvdr import select_solver_strategy3
         return select_solver_strategy3(self.params.solver, self.cdtype,
                                        self.engine, self.geom.num_mics,
@@ -172,6 +175,11 @@ class LcmvModel(BatchableConstrainedModel):
         c_uniq = self._constraints_traced(u_theta, u_angles, u_active,
                                           u_row0)             # (U,Nib,M,S)
         c_k = jnp.moveaxis(c_uniq, (1, 2, 3), (3, 2, 1))      # (U,S,M,Nib)
+        # the barrier forces the constraint build to materialize before the
+        # fused kernel's operand staging instead of fusing into it — the
+        # combined program otherwise trips an intermittent axon-worker
+        # fault at load (the same kernel under MvdrModel never faults)
+        c_k = jax.lax.optimization_barrier(c_k)
         from beamform_tpu.kernels.mega_stream import lcmv_mega
         audio, hist, prev = lcmv_mega(
             x, carry.tail, carry.out_prev, hist0, c_k, jnp.asarray(idx),
