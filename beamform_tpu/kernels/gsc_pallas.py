@@ -68,8 +68,14 @@ def _kernel(in_ref, blk_in, flt_in, lo_in,
         b = blk[:]
         bsq = bsq + u_new * u_new - b_old * b_old
 
-        block_out = jnp.sum(flt[:] * b, axis=2, keepdims=True)  # (B,M-1,1)
-        out = das - jnp.sum(block_out, axis=1, keepdims=True)   # (B,1,1)
+        # reduce channels (sublanes) BEFORE lanes: the lane-shuffle tree
+        # then runs on a (B, 1, K) row (4 vregs) instead of the full
+        # (B, M-1, K) register set (~60 vregs x log2(K) rounds) — the
+        # total is all the recurrence needs (per-channel block powers are
+        # tracked incrementally as bsq)
+        prod = flt[:] * b
+        chan_sum = jnp.sum(prod, axis=1, keepdims=True)         # (B,1,K)
+        out = das - jnp.sum(chan_sum, axis=2, keepdims=True)    # (B,1,1)
 
         o_old = lo[:, 0:1, 0:1]
         lo[:] = jnp.where(lane_o == k - 1, out,
