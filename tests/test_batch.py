@@ -106,3 +106,28 @@ def test_batch_state_carries():
         full = np.asarray(model.process(xs[i]))
         np.testing.assert_allclose(np.concatenate([y1[i], y2[i]]), full,
                                    atol=1e-10)
+
+
+@pytest.mark.parametrize("name", ["mvdr", "lcmv"])
+def test_batch_vmaps_the_mega_kernel(name):
+    """BatchRunner on a float32 engine rides the default vmap over
+    ``_forward`` with the mega-fused pallas kernel inside — Mosaic's vmap
+    batching rule must reproduce the single-stream kernel exactly
+    (verified bit-equal on real TPU; pinned here in interpret mode)."""
+    engine = EngineConfig(sample_rate=48000, window_size=HOP,
+                          dtype="float32")
+    params = dict(past_windows=6, freq_mag_threshold=0.0008,
+                  freq_max=16000.0, freq_min=100.0, solver="mega")
+    b = 2
+    xs = np.stack([make_scene(AIRA3, seconds=0.1, theta_deg=10.0 + 7 * i,
+                              seed=30 + i, hop=HOP, quiet_hops=6)
+                   for i in range(b)])
+    thetas = np.array([5.0, -20.0])
+
+    runner = BatchRunner(name, engine, cfg3(), params, batch=b)
+    yb = np.asarray(runner.process(xs, thetas))
+
+    model = get_model(name, engine, cfg3(), params)
+    for i in range(b):
+        yi = np.asarray(model.process(xs[i], float(thetas[i])))
+        np.testing.assert_allclose(yb[i], yi, atol=1e-7)
