@@ -76,6 +76,78 @@ def _small_gj_inverse(mr, mi, s):
     return ir, ii
 
 
+def constraint_space_apply(solvers, sr, si, eye, xsr, xsi,
+                           c_rows_r, c_rows_i, xc_r, xc_i,
+                           m: int, s_cap: int, refine: bool):
+    """Shared constraint-space LCMV core (lcmv.cpp:108-138), given a
+    Cholesky factor already installed in the ``solvers`` closures: solve
+    X_a = R^-1 C_a into the ``xs`` scratch (refined like the dense path
+    when ``refine``), form the masked inner matrix C^H X with the
+    zero-column identity guard, invert it (Gauss-Jordan + one residual
+    polish — the dense path's Newton-polished inverse), and apply
+    w = sum_b X_b v_b to the frame spectra. Returns y = w^H x as
+    (re, im) (1, 1, NIB) rows. Used by the three-stage kernel below AND
+    the mega kernel (kernels/mega_stream.py) — one copy of the algebra."""
+    fwd_solve, bwd_solve, refined_solve = solvers
+    nib = sr.shape[-1]
+
+    # X_a = R^-1 C_a per slot
+    for a in range(s_cap):
+        if refine:
+            x_r, x_i = refined_solve(sr, si, eye,
+                                     c_rows_r[a], c_rows_i[a])
+        else:
+            zr_, zi_ = fwd_solve(c_rows_r[a], c_rows_i[a])
+            x_r, x_i = bwd_solve(zr_, zi_)
+        xsr[a:a + 1] = x_r
+        xsi[a:a + 1] = x_i
+
+    # inner[a][b] = C_a^H X_b ; masked identity on zero columns
+    inr = [[None] * s_cap for _ in range(s_cap)]
+    ini = [[None] * s_cap for _ in range(s_cap)]
+    for a in range(s_cap):
+        colnorm = jnp.sum(c_rows_r[a] * c_rows_r[a]
+                          + c_rows_i[a] * c_rows_i[a],
+                          axis=1, keepdims=True)           # (1,1,nib)
+        for b in range(s_cap):
+            pr, pi = _cmul_conj(xsr[b:b + 1], xsi[b:b + 1],
+                                c_rows_r[a], c_rows_i[a])
+            inr[a][b] = jnp.sum(pr, axis=1, keepdims=True)
+            ini[a][b] = jnp.sum(pi, axis=1, keepdims=True)
+        inr[a][a] = inr[a][a] + jnp.where(colnorm == 0.0, 1.0, 0.0)
+
+    ivr, ivi = _small_gj_inverse(inr, ini, s_cap)
+    # v = G^-1 e0, then one residual refinement
+    v_r = [ivr[a][0] for a in range(s_cap)]
+    v_i = [ivi[a][0] for a in range(s_cap)]
+    res_r, res_i = [], []
+    for a in range(s_cap):
+        acc_r = v_r[0] * 0 + (1.0 if a == 0 else 0.0)
+        acc_i = v_i[0] * 0
+        for b in range(s_cap):
+            dr, di = _cmul(inr[a][b], ini[a][b], v_r[b], v_i[b])
+            acc_r = acc_r - dr
+            acc_i = acc_i - di
+        res_r.append(acc_r)
+        res_i.append(acc_i)
+    for a in range(s_cap):
+        for b in range(s_cap):
+            dr, di = _cmul(ivr[a][b], ivi[a][b], res_r[b], res_i[b])
+            v_r[a] = v_r[a] + dr
+            v_i[a] = v_i[a] + di
+
+    # w = sum_b X_b v_b ; y = w^H x
+    w_r = jnp.zeros((1, m, nib), jnp.float32)
+    w_i = jnp.zeros((1, m, nib), jnp.float32)
+    for b in range(s_cap):
+        dr, di = _cmul(xsr[b:b + 1], xsi[b:b + 1], v_r[b], v_i[b])
+        w_r = w_r + dr
+        w_i = w_i + di
+    yr_, yi_ = _cmul_conj(xc_r, xc_i, w_r, w_i)
+    return (jnp.sum(yr_, axis=1, keepdims=True),
+            jnp.sum(yi_, axis=1, keepdims=True))
+
+
 def _kernel(act_ref,
             xc_r_ref, xc_i_ref, xo_r_ref, xo_i_ref,
             c_r_ref, c_i_ref,
@@ -120,65 +192,12 @@ def _kernel(act_ref,
             fi_ = f if per_frame_c else 0
             c_rows_r = [c_r_ref[fi_, a:a + 1, :, :] for a in range(s_cap)]
             c_rows_i = [c_i_ref[fi_, a:a + 1, :, :] for a in range(s_cap)]
-
-            # X_a = R^-1 C_a per slot (refined like the dense path)
-            for a in range(s_cap):
-                if refine:
-                    x_r, x_i = refined_solve(sr, si, eye,
-                                             c_rows_r[a], c_rows_i[a])
-                else:
-                    zr_, zi_ = fwd_solve(c_rows_r[a], c_rows_i[a])
-                    x_r, x_i = bwd_solve(zr_, zi_)
-                xsr[a:a + 1] = x_r
-                xsi[a:a + 1] = x_i
-
-            # inner[a][b] = C_a^H X_b ; masked identity on zero columns
-            inr = [[None] * s_cap for _ in range(s_cap)]
-            ini = [[None] * s_cap for _ in range(s_cap)]
-            for a in range(s_cap):
-                colnorm = jnp.sum(c_rows_r[a] * c_rows_r[a]
-                                  + c_rows_i[a] * c_rows_i[a],
-                                  axis=1, keepdims=True)       # (1,1,nib)
-                for b in range(s_cap):
-                    pr, pi = _cmul_conj(xsr[b:b + 1], xsi[b:b + 1],
-                                        c_rows_r[a], c_rows_i[a])
-                    inr[a][b] = jnp.sum(pr, axis=1, keepdims=True)
-                    ini[a][b] = jnp.sum(pi, axis=1, keepdims=True)
-                inr[a][a] = inr[a][a] + jnp.where(colnorm == 0.0, 1.0, 0.0)
-
-            ivr, ivi = _small_gj_inverse(inr, ini, s_cap)
-            # v = G^-1 e0, then one residual refinement (the dense path's
-            # Newton-polished inverse)
-            v_r = [ivr[a][0] for a in range(s_cap)]
-            v_i = [ivi[a][0] for a in range(s_cap)]
-            res_r, res_i = [], []
-            for a in range(s_cap):
-                acc_r = v_r[0] * 0 + (1.0 if a == 0 else 0.0)
-                acc_i = v_i[0] * 0
-                for b in range(s_cap):
-                    dr, di = _cmul(inr[a][b], ini[a][b], v_r[b], v_i[b])
-                    acc_r = acc_r - dr
-                    acc_i = acc_i - di
-                res_r.append(acc_r)
-                res_i.append(acc_i)
-            for a in range(s_cap):
-                for b in range(s_cap):
-                    dr, di = _cmul(ivr[a][b], ivi[a][b], res_r[b], res_i[b])
-                    v_r[a] = v_r[a] + dr
-                    v_i[a] = v_i[a] + di
-
-            # w = sum_b X_b v_b ; y = w^H x
-            w_r = jnp.zeros((1, m, nib), jnp.float32)
-            w_i = jnp.zeros((1, m, nib), jnp.float32)
-            for b in range(s_cap):
-                dr, di = _cmul(xsr[b:b + 1], xsi[b:b + 1], v_r[b], v_i[b])
-                w_r = w_r + dr
-                w_i = w_i + di
-            xc_r = xc_r_ref[f:f + 1]
-            xc_i = xc_i_ref[f:f + 1]
-            yr_, yi_ = _cmul_conj(xc_r, xc_i, w_r, w_i)
-            y_r_ref[f:f + 1] = jnp.sum(yr_, axis=1, keepdims=True)
-            y_i_ref[f:f + 1] = jnp.sum(yi_, axis=1, keepdims=True)
+            y_r, y_i = constraint_space_apply(
+                (fwd_solve, bwd_solve, refined_solve), sr, si, eye,
+                xsr, xsi, c_rows_r, c_rows_i,
+                xc_r_ref[f:f + 1], xc_i_ref[f:f + 1], m, s_cap, refine)
+            y_r_ref[f:f + 1] = y_r
+            y_i_ref[f:f + 1] = y_i
 
         @pl.when(act_ref[t] == 0)
         def _silent():

@@ -35,10 +35,11 @@ measured on-chip, the unrefined f32 solve deviates 8.5e-5 (white noise) /
 refinement — the stream-vs-dense difference is summation order, not solve
 conditioning (tests/test_mega_stream.py pins this).
 
-Capacity: the band must start in k2 group 0 (bin 0 through the last
-in-band bin — high-pass-only bands fall back to the three-stage path) and
-the (M, M, k2cov*128) scratch set must fit VMEM; see
-``mega_fits`` / models/mvdr.py select_solver_strategy.
+Capacity: analysis covers k2 groups 0..k2cov-1 (bin 0 through the last
+in-band bin); bands reaching the Nyquist bin fall back to the three-stage
+path (the half-spectrum x2 fold would double-count Nyquist and its
+extended shadow bin), and the (M, M, k2cov*128) scratch set must fit
+VMEM; see ``mega_fits`` / models/mvdr.py select_solver_strategy3.
 
 Reference semantics: mvdr.cpp:62-115 (the whole per-window pipeline this
 kernel fuses), lcmv.cpp:108-138 (constraint-space solve).
@@ -65,7 +66,7 @@ from beamform_tpu.kernels.mvdr_stream import (
     make_solvers,
     sliding_update,
 )
-from beamform_tpu.kernels.lcmv_stream import _small_gj_inverse
+from beamform_tpu.kernels.lcmv_stream import constraint_space_apply
 
 FRAMES_PER_STEP = 8
 
@@ -189,64 +190,15 @@ def _mvdr_solve_frame(sr, si, ur, ui, linv_ref, solvers,
 def _lcmv_solve_frame(sr, si, ur, ui, xsr, xsi, linv_ref, solvers,
                       c_rows_r, c_rows_i, xc_r, xc_i, eyec, eye,
                       m: int, s_cap: int, refine: bool):
-    """Constraint-space solve (lcmv.cpp:108-138) — see
-    kernels/lcmv_stream.py for the algorithm notes."""
-    fwd_solve, bwd_solve, refined_solve = solvers
+    """Loading + in-place Cholesky, then the SHARED constraint-space core
+    (kernels/lcmv_stream.py constraint_space_apply — one copy of the
+    lcmv.cpp:108-138 algebra for both kernels)."""
     ur[:] = sr[:] * eyec
     ui[:] = si[:] * eyec
     cholesky_factor_inplace(ur, ui, linv_ref, m)
-
-    for a in range(s_cap):
-        if refine:
-            x_r, x_i = refined_solve(sr, si, eye, c_rows_r[a], c_rows_i[a])
-        else:
-            zr_, zi_ = fwd_solve(c_rows_r[a], c_rows_i[a])
-            x_r, x_i = bwd_solve(zr_, zi_)
-        xsr[a:a + 1] = x_r
-        xsi[a:a + 1] = x_i
-
-    nib = sr.shape[-1]
-    inr = [[None] * s_cap for _ in range(s_cap)]
-    ini = [[None] * s_cap for _ in range(s_cap)]
-    for a in range(s_cap):
-        colnorm = jnp.sum(c_rows_r[a] * c_rows_r[a]
-                          + c_rows_i[a] * c_rows_i[a],
-                          axis=1, keepdims=True)
-        for b in range(s_cap):
-            pr, pi = _cmul_conj(xsr[b:b + 1], xsi[b:b + 1],
-                                c_rows_r[a], c_rows_i[a])
-            inr[a][b] = jnp.sum(pr, axis=1, keepdims=True)
-            ini[a][b] = jnp.sum(pi, axis=1, keepdims=True)
-        inr[a][a] = inr[a][a] + jnp.where(colnorm == 0.0, 1.0, 0.0)
-
-    ivr, ivi = _small_gj_inverse(inr, ini, s_cap)
-    v_r = [ivr[a][0] for a in range(s_cap)]
-    v_i = [ivi[a][0] for a in range(s_cap)]
-    res_r, res_i = [], []
-    for a in range(s_cap):
-        acc_r = v_r[0] * 0 + (1.0 if a == 0 else 0.0)
-        acc_i = v_i[0] * 0
-        for b in range(s_cap):
-            dr, di = _cmul(inr[a][b], ini[a][b], v_r[b], v_i[b])
-            acc_r = acc_r - dr
-            acc_i = acc_i - di
-        res_r.append(acc_r)
-        res_i.append(acc_i)
-    for a in range(s_cap):
-        for b in range(s_cap):
-            dr, di = _cmul(ivr[a][b], ivi[a][b], res_r[b], res_i[b])
-            v_r[a] = v_r[a] + dr
-            v_i[a] = v_i[a] + di
-
-    w_r = jnp.zeros((1, m, nib), jnp.float32)
-    w_i = jnp.zeros((1, m, nib), jnp.float32)
-    for b in range(s_cap):
-        dr, di = _cmul(xsr[b:b + 1], xsi[b:b + 1], v_r[b], v_i[b])
-        w_r = w_r + dr
-        w_i = w_i + di
-    yr_, yi_ = _cmul_conj(xc_r, xc_i, w_r, w_i)
-    return (jnp.sum(yr_, axis=1, keepdims=True),
-            jnp.sum(yi_, axis=1, keepdims=True))
+    return constraint_space_apply(solvers, sr, si, eye, xsr, xsi,
+                                  c_rows_r, c_rows_i, xc_r, xc_i,
+                                  m, s_cap, refine)
 
 
 def _kernel(hops_ref, init_hop_ref, hist_r_ref, hist_i_ref,
@@ -555,18 +507,27 @@ def mega_k2cov(ib) -> int:
     return (int(np.max(ib)) + 128) // 128
 
 
-def mega_fits(m: int, ib, nfft: int, s_cap: int = 0,
+def mega_fits(m: int, ib, nfft: int, s_cap: int = 0, w_hist: int = 16,
               budget: int = 18 * 1024 * 1024) -> bool:
-    """Whether the mega kernel's VMEM scratch set fits on-core. Mirrors
-    models/mvdr.py stream_solver_fits with the fused extras (spectra ring,
-    hop scratch) and the band-coverage padding nibp = k2cov*128."""
+    """Whether the mega kernel can take this configuration on-core.
+
+    Two gates: (1) the half-spectrum synthesis doubles every bin
+    0 < k < nfft/2 via the Hermitian fold, so a band that reaches the
+    Nyquist bin (or its extended shadow bin) would double-count it —
+    those bands stay on the three-stage path, whose synthesis performs
+    the exact extended-layout fold; (2) the VMEM scratch set (mirrors
+    models/mvdr.py stream_solver_fits plus the fused extras: the W-frame
+    spectra ring + hist/ring blocks scale with ``w_hist``, hop scratch,
+    band-coverage padding nibp = k2cov*128) must fit the budget."""
     from beamform_tpu.kernels.wola_pallas import MAX_CHANNELS_PER_BLOCK
     if m > MAX_CHANNELS_PER_BLOCK:
         return False
+    if int(np.max(ib)) >= nfft // 2:     # Nyquist / shadow bin in band
+        return False
     nibp = mega_k2cov(ib) * 128
     n2 = nfft // 128
-    w_hist_max = 16          # conservative: ring scales with past_windows
-    scratch = (6 * m * m + m + 2 * w_hist_max * m + 2 * s_cap * m) * nibp * 4
+    # ring scratch (2) + hist inputs (2) + ring outputs (2), all (W,M,NIBP)
+    scratch = (6 * m * m + m + 6 * w_hist * m + 2 * s_cap * m) * nibp * 4
     scratch += (n2 * m * 64 + n2 * 64) * 4
     return scratch <= budget
 
@@ -613,6 +574,9 @@ def mvdr_mega(x, tail, out_prev, hist, d_ib, w_idx, ib, nfft: int,
     out_prev (hop,) OLA carry, hist (W, M, NIB) complex history, d_ib
     (U, M, NIB) complex steering over the in-band bins ``ib``; w_idx (T,)
     steering index per frame. Returns (audio (S,), hist', out_prev')."""
+    if x.shape[1] < nfft // 2:           # no whole hop: nothing to march
+        return (jnp.zeros((0,), jnp.float32), jnp.asarray(hist),
+                jnp.asarray(out_prev, jnp.float32))
     hs, hist_r, hist_i, mask, t, nibp, hop = _prep(x, tail, hist, ib, nfft)
     n2 = nfft // 128
     ibj = jnp.asarray(np.asarray(ib))
@@ -635,6 +599,9 @@ def lcmv_mega(x, tail, out_prev, hist, c_ib, idx, ib, nfft: int,
     """Fused LCMV step: c_ib (U, S_cap, M, NIB) complex constraint sets
     (inactive slots all-zero, detected in-kernel per bin); idx (T,)
     control-row index per frame. Returns (audio (S,), hist', out_prev')."""
+    if x.shape[1] < nfft // 2:           # no whole hop: nothing to march
+        return (jnp.zeros((0,), jnp.float32), jnp.asarray(hist),
+                jnp.asarray(out_prev, jnp.float32))
     hs, hist_r, hist_i, mask, t, nibp, hop = _prep(x, tail, hist, ib, nfft)
     n2 = nfft // 128
     ibj = jnp.asarray(np.asarray(ib))

@@ -158,7 +158,8 @@ class LcmvModel(BatchableConstrainedModel):
         from beamform_tpu.models.mvdr import select_solver_strategy3
         return select_solver_strategy3(self.params.solver, self.cdtype,
                                        self.engine, self.geom.num_mics,
-                                       self.ib, s_cap=len(self.interf) + 1)
+                                       self.ib, s_cap=len(self.interf) + 1,
+                                       w_hist=self.params.past_windows)
 
     def _use_stream(self) -> bool:
         """See MvdrModel._use_stream."""

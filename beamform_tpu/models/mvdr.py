@@ -94,7 +94,7 @@ def select_solver_strategy(solver: str, cdtype, m: int, nib: int,
 
 
 def select_solver_strategy3(solver: str, cdtype, engine, m: int, ib,
-                            s_cap: int = 0) -> str:
+                            s_cap: int = 0, w_hist: int = 16) -> str:
     """Tri-state MVDR/LCMV solver policy: "mega" | "stream" | "dense".
 
     "auto" prefers the mega-fused kernel (kernels/mega_stream.py:
@@ -112,14 +112,17 @@ def select_solver_strategy3(solver: str, cdtype, engine, m: int, ib,
         if cdtype != jnp.complex64:
             raise ValueError("the mega solver is a float32 strategy; "
                              "use solver='dense' with float64")
-        if not mega_fits(m, ib, nfft, s_cap):
+        if not mega_fits(m, ib, nfft, s_cap, w_hist):
             raise ValueError(
                 f"solver='mega' exceeds the fused kernel's on-core "
                 f"capacity ({m} mics, band to bin {int(np.max(ib))}, "
-                f"nfft {nfft}) — use solver='stream' or 'dense'")
+                f"nfft {nfft}, past_windows {w_hist}; bands reaching the "
+                f"Nyquist bin are also excluded) — use solver='stream' "
+                f"or 'dense'")
         return "mega"
     if solver == "auto":
-        if use_wola_kernels(engine) and mega_fits(m, ib, nfft, s_cap):
+        if (use_wola_kernels(engine)
+                and mega_fits(m, ib, nfft, s_cap, w_hist)):
             return "mega"
     return ("stream" if select_solver_strategy(solver, cdtype, m, nib,
                                                s_cap) else "dense")
@@ -212,7 +215,8 @@ class MvdrModel(BatchableModel):
         "dense" (block-scan pipeline). See select_solver_strategy3."""
         return select_solver_strategy3(self.params.solver, self.cdtype,
                                        self.engine, self.geom.num_mics,
-                                       self.ib)
+                                       self.ib,
+                                       w_hist=self.params.past_windows)
 
     def _use_stream(self) -> bool:
         """Whether a fused stream kernel (mega or three-stage) carries the

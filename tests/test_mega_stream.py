@@ -138,3 +138,39 @@ def test_mega_lcmv_with_interference_timeline():
     # see test_stream_solver.py: M=3 with 3 constraints is a determined,
     # ill-conditioned system; f32 algorithms legitimately differ at ~3e-4
     assert np.abs(y_m - y_d).max() / scale < 1e-3
+
+
+def test_mega_rejects_nyquist_band():
+    """The half-spectrum synthesis doubles every bin 0 < k < nfft/2; a
+    band reaching the Nyquist bin (or its extended shadow) would be
+    double-counted (measured 0.396 relative error before the guard), so
+    mega_fits must exclude it and forcing solver='mega' must raise."""
+    from beamform_tpu.kernels.mega_stream import mega_fits
+    assert not mega_fits(3, np.array([1, 128]), 256)         # 128 = nfft/2
+    assert mega_fits(3, np.array([1, 127]), 256)
+
+    engine = EngineConfig(sample_rate=48000, window_size=HOP,
+                          dtype="float32")
+    model = get_model("mvdr", engine, cfg3(),
+                      dict(BASE, freq_max=24000.0, solver="mega"))
+    with pytest.raises(ValueError, match="capacity"):
+        model._strategy()
+    # and auto quietly routes such bands off the mega path
+    auto = get_model("mvdr", engine, cfg3(), dict(BASE, freq_max=24000.0))
+    assert auto._strategy() != "mega"
+
+
+def test_mega_capacity_scales_with_past_windows():
+    """The W-frame spectra ring + hist/ring blocks scale the VMEM budget:
+    the strategy must see the configured past_windows, not a fixed cap."""
+    from beamform_tpu.kernels.mega_stream import mega_fits
+    ib = np.arange(5, 683)                     # the 16-ch launch band
+    assert mega_fits(16, ib, 2048, w_hist=10)
+    assert not mega_fits(16, ib, 2048, w_hist=48)
+
+    engine = EngineConfig(sample_rate=48000, window_size=HOP,
+                          dtype="float32")
+    model = get_model("mvdr", engine, cfg3(),
+                      dict(BASE, past_windows=2048, solver="mega"))
+    with pytest.raises(ValueError, match="capacity"):
+        model._strategy()
