@@ -231,11 +231,15 @@ class GscParams:
     filter_size: int = 128
     write_mu: bool = False
     #: TPU adaptive-stage strategy: "sample" = the per-sample kernel
-    #: (kernels/gsc_pallas.py); "block" = the exact lookahead-8
+    #: (kernels/gsc_pallas.py); "xmu" = the same recurrence with the
+    #: input-only mu quantities (block powers, q-branch steps) hoisted to
+    #: XLA and streamed in (gsc_adaptive_pallas_xmu — agreement with the
+    #: scan at ~1e-6 instead of ~4e-8, fresh-per-sample block powers like
+    #: the reference's calculate_power); "block" = the exact lookahead-8
     #: block-factorized kernel (kernels/gsc_block.py). Measured on-chip
-    #: (batch 32, 16 mics): sample 542x vs block 511x aggregate with a 3x
-    #: longer compile — the per-sample registers win, so they stay the
-    #: default and the factorization remains an A/B strategy.
+    #: (batch 32, 16 mics, round-3 chip-day): sample 406x vs block 388x
+    #: aggregate — the per-sample registers stay the default; the others
+    #: remain A/B strategies.
     solver: str = "sample"
 
 

@@ -153,10 +153,18 @@ class GscModel(BatchableModel):
         """Route a (B, M, S) aligned batch through the block-factorized
         kernel (kernels/gsc_block.py); falls back to the per-sample kernel
         via solver='sample' for A/B comparison."""
-        if getattr(self.params, "solver", "block") == "sample":
+        solver = getattr(self.params, "solver", "block")
+        if solver == "sample":
             from beamform_tpu.kernels.gsc_pallas import (
                 gsc_adaptive_pallas_batched)
             out, blk, flt, lo = gsc_adaptive_pallas_batched(
+                aligned_b, gstate.block, gstate.filt, gstate.last_out,
+                self.params)
+            return out, GscState(blk, flt, lo, gstate.gram, gstate.uold)
+        if solver == "xmu":
+            from beamform_tpu.kernels.gsc_pallas import (
+                gsc_adaptive_pallas_xmu)
+            out, blk, flt, lo = gsc_adaptive_pallas_xmu(
                 aligned_b, gstate.block, gstate.filt, gstate.last_out,
                 self.params)
             return out, GscState(blk, flt, lo, gstate.gram, gstate.uold)

@@ -63,3 +63,33 @@ def test_pallas_state_continuity():
     np.testing.assert_allclose(np.concatenate([y1, y2]), np.asarray(full),
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(f2), np.asarray(flt), atol=1e-6)
+
+
+@pytest.mark.parametrize("use_vad", [False, True])
+def test_xmu_matches_scan(use_vad):
+    """The xmu strategy (input-only mu quantities hoisted to XLA) runs the
+    identical recurrence: its block powers are exact fresh-per-sample
+    windowed sums (like the scan's calculate_power), so agreement is at
+    the same f32 round-off as the incremental kernel."""
+    from beamform_tpu.kernels.gsc_pallas import gsc_adaptive_pallas_xmu
+    m, k, chunk = 4, 128, 128
+    s = 4 * chunk
+    params = GscParams(mu0=0.0005, mu_max=0.05, filter_size=k,
+                       use_vad=use_vad, vad_threshold=0.05)
+    rng = np.random.default_rng(0)
+    aligned = (0.2 * rng.standard_normal((s, m))).astype(np.float32)
+    st = gsc_init_state(m, k, jnp.float32)
+
+    out_ref, st_ref = run_scan(jnp.asarray(aligned), st, params)
+    out_k, blk, flt, lo = gsc_adaptive_pallas_xmu(
+        jnp.asarray(aligned).T[None], st.block[None], st.filt[None],
+        st.last_out[None], params, chunk=chunk, interpret=True)
+
+    np.testing.assert_allclose(np.asarray(out_k[0]), np.asarray(out_ref),
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(flt[0]), np.asarray(st_ref.filt),
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(blk[0]),
+                               np.asarray(st_ref.block), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(lo[0]),
+                               np.asarray(st_ref.last_out), atol=2e-5)
