@@ -238,8 +238,15 @@ class GscParams:
     #: the reference's calculate_power); "block" = the exact lookahead-8
     #: block-factorized kernel (kernels/gsc_block.py). Measured on-chip
     #: (batch 32, 16 mics, round-3 chip-day): sample 406x vs block 388x
-    #: aggregate — the per-sample registers stay the default; the others
-    #: remain A/B strategies.
+    #: aggregate — the per-sample registers stay the default; those two
+    #: remain A/B strategies. "blocklms" = the NON-FAITHFUL fast mode
+    #: (kernels/gsc_blocklms.py): the filter bank is frozen for 128-sample
+    #: blocks and the reference's per-sample updates (gsc.cpp:162-169)
+    #: accumulate and land at block boundaries — delayed-update block LMS
+    #: with the per-sample dynamic-mu rule intact. Output differs from the
+    #: reference (<=127-sample filter staleness); SIR-gain parity with the
+    #: faithful mode is pinned by tests/test_gsc_blocklms.py, throughput
+    #: clears the 1000x target (docs/PARITY.md #24).
     solver: str = "sample"
 
 

@@ -138,6 +138,15 @@ class GscModel(BatchableModel):
                 and self.params.filter_size == 128    # the reference default
                 and num_samples % 1024 == 0)
 
+    def _use_blocklms_scan(self, num_samples: int) -> bool:
+        """The non-faithful block-LMS mode off-TPU: same semantics as the
+        Pallas kernel via the lax.scan-over-blocks formulation, so tests
+        and checkpoints behave identically across backends."""
+        return (getattr(self.params, "solver", "") == "blocklms"
+                and not self.params.write_mu
+                and self.params.filter_size == 128
+                and num_samples % 128 == 0)
+
     def _block_chunk(self, num_samples: int, batch: int = 1) -> int:
         """Grid-step chunk for the block kernel (must divide the sample
         count and hold whole 128-sample subtiles). The packed Gram
@@ -154,6 +163,13 @@ class GscModel(BatchableModel):
         kernel (kernels/gsc_block.py); falls back to the per-sample kernel
         via solver='sample' for A/B comparison."""
         solver = getattr(self.params, "solver", "block")
+        if solver == "blocklms":
+            from beamform_tpu.kernels.gsc_blocklms import (
+                gsc_blocklms_pallas_batched)
+            out, blk, flt, lo = gsc_blocklms_pallas_batched(
+                aligned_b, gstate.block, gstate.filt, gstate.last_out,
+                self.params)
+            return out, GscState(blk, flt, lo, gstate.gram, gstate.uold)
         if solver == "sample":
             from beamform_tpu.kernels.gsc_pallas import (
                 gsc_adaptive_pallas_batched)
@@ -185,6 +201,14 @@ class GscModel(BatchableModel):
             gb = jax.tree.map(lambda a: a[None], gstate)
             out, gb = self._adaptive_kernel_batched(aligned[None], gb)
             return out[0], (carry, jax.tree.map(lambda a: a[0], gb))
+
+        if self._use_blocklms_scan(aligned.shape[-1]):
+            from beamform_tpu.kernels.gsc_blocklms import gsc_blocklms_scan
+            out, blk, flt, lo = gsc_blocklms_scan(
+                aligned, gstate.block, gstate.filt, gstate.last_out,
+                self.params)
+            return out, (carry, GscState(blk, flt, lo, gstate.gram,
+                                         gstate.uold))
 
         def step(st, a_t):
             return gsc_sample_step(st, a_t, self.params,
@@ -261,6 +285,18 @@ class GscModel(BatchableModel):
 
         if self._use_pallas(aligned.shape[-1]) and not self.params.write_mu:
             out, gstate = self._adaptive_kernel_batched(aligned, gstate)
+            return out, (carry, gstate)
+
+        if self._use_blocklms_scan(aligned.shape[-1]):
+            from beamform_tpu.kernels.gsc_blocklms import gsc_blocklms_scan
+
+            def one_blk(a_stream, gst):
+                out, blk, flt, lo = gsc_blocklms_scan(
+                    a_stream, gst.block, gst.filt, gst.last_out,
+                    self.params)
+                return out, GscState(blk, flt, lo, gst.gram, gst.uold)
+
+            out, gstate = jax.vmap(one_blk)(aligned, gstate)
             return out, (carry, gstate)
 
         def one(a_stream, gst):
