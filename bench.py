@@ -27,6 +27,20 @@ import numpy as np
 TARGET_XRT = 1000.0
 
 
+def enable_compile_cache():
+    """Persistent XLA compilation cache (repo-local, gitignored): the mega
+    and block-LMS programs cost 40-110 s to compile through the tunnel;
+    caching them keeps repeat driver runs inside the wall-clock budget."""
+    import jax
+    cache_dir = os.environ.get(
+        "BEAMFORM_JAX_CACHE",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_cache"))
+    if cache_dir:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+
 def make_input(num_mics: int, seconds: float, fs: int, dtype=np.float32):
     rng = np.random.default_rng(0)
     # float32 generation: the bench host is a small VM and occasionally
@@ -231,6 +245,7 @@ def main():
                     default=float(os.environ.get("BENCH_BUDGET_S", 1500)))
     args = ap.parse_args()
     t_start = time.perf_counter()
+    enable_compile_cache()
 
     cfg = aira16_xy() if args.mics == 16 else None
     if cfg is None or cfg.num_mics != args.mics:
@@ -276,17 +291,36 @@ def main():
                 table[name] = "SKIPPED(budget)"
                 continue
             try:
+                # the light models (mcra/ref/read) finish in microseconds
+                # per chunk, so their 3-set medians carried 20-30% spread
+                # (VERDICT round-3 item 6) — give them 5 sets
+                nsets = 5 if name in ("mcra", "ref", "read") else 3
                 med, sp = bench_model(name, x, cfg, args.seconds,
-                                      LAUNCH[name], repeats=4)
+                                      LAUNCH[name], repeats=4, sets=nsets)
                 table[name] = round(med, 1)
                 stats[name] = {"median": round(med, 1),
-                               "spread": round(sp, 3)}
+                               "spread": round(sp, 3), "sets": nsets}
             except Exception as e:  # keep the headline alive
                 table[name] = f"ERROR {type(e).__name__}: {e}"[:120]
             print(f"  {name}: {table[name]} xRT "
                   f"(spread {stats.get(name, {}).get('spread', '-')})",
                   file=sys.stderr)
         result["all_models_xrt"] = table
+
+        # GSC fast mode (solver="blocklms", docs/PARITY.md #24): the
+        # documented NON-faithful block-LMS solver — the per-sample
+        # recurrence is measured capped at ~410x aggregate (ROADMAP item 1)
+        if budget_left():
+            try:
+                fast = dict(LAUNCH["gsc"], solver="blocklms")
+                med, sp = bench_model("gsc", x, cfg, args.seconds, fast,
+                                      repeats=4)
+                result["gsc_fast_xrt"] = round(med, 1)
+                stats["gsc_fast"] = {"median": round(med, 1),
+                                     "spread": round(sp, 3)}
+            except Exception as e:
+                result["gsc_fast_xrt"] = f"ERROR {type(e).__name__}: {e}"[:120]
+            print(f"  gsc_fast: {result['gsc_fast_xrt']}", file=sys.stderr)
 
         # GSC's production serving shape: the sample-serial kernel batches
         # streams on sublanes; aggregate throughput at batch 32 is the
@@ -306,6 +340,23 @@ def main():
             print(f"  gsc_batch32: {result['gsc_batch32_aggregate_xrt']}",
                   file=sys.stderr)
 
+        # fast-mode serving aggregate: the VERDICT round-3 exit criterion
+        # (>=1000x aggregate with quality parity, tests/test_gsc_blocklms.py)
+        if budget_left():
+            try:
+                fast = dict(LAUNCH["gsc"], solver="blocklms")
+                med, sp = bench_batched("gsc", cfg, min(args.seconds, 10.0),
+                                        32, args.mics, fast)
+                result["gsc_fast_batch32_aggregate_xrt"] = round(med, 1)
+                stats["gsc_fast_batch32"] = {"median": round(med, 1),
+                                             "spread": round(sp, 3)}
+            except Exception as e:
+                result["gsc_fast_batch32_aggregate_xrt"] = (
+                    f"ERROR {type(e).__name__}: {e}"[:120])
+            print("  gsc_fast_batch32: "
+                  f"{result['gsc_fast_batch32_aggregate_xrt']}",
+                  file=sys.stderr)
+
         # the gate-sparse operating regime (speech-like input)
         for name in ("mvdr", "lcmv"):
             key = f"{name}_speech_xrt"
@@ -317,6 +368,24 @@ def main():
                                       LAUNCH[name], repeats=4)
                 result[key] = round(med, 1)
                 stats[f"{name}_speech"] = {"median": round(med, 1),
+                                           "spread": round(sp, 3)}
+            except Exception as e:
+                result[key] = f"ERROR {type(e).__name__}: {e}"[:120]
+            print(f"  {key}: {result[key]}", file=sys.stderr)
+
+        # batched covariance-family serving (VERDICT round-3 item 4): the
+        # realistic multi-stream shape for mvdr/lcmv. lcmv stays last —
+        # same axon blast-radius reasoning as the single-stream order.
+        for name in ("mvdr", "lcmv"):
+            key = f"{name}_batch8_aggregate_xrt"
+            if not budget_left():
+                result[key] = "SKIPPED(budget)"
+                continue
+            try:
+                med, sp = bench_batched(name, cfg, min(args.seconds, 10.0),
+                                        8, args.mics, LAUNCH[name])
+                result[key] = round(med, 1)
+                stats[f"{name}_batch8"] = {"median": round(med, 1),
                                            "spread": round(sp, 3)}
             except Exception as e:
                 result[key] = f"ERROR {type(e).__name__}: {e}"[:120]
