@@ -218,6 +218,12 @@ class GssParams:
     mu: float = 0.01
     lam: float = 0.0  # "lambda" in the reference
     interf_angle_threshold: float = 5.0
+    #: demixing-update strategy: "auto" picks the mega-fused kernel
+    #: (kernels/gss_stream.py: analysis -> natural-gradient update ->
+    #: synthesis in one Pallas program) on a TPU float32 engine whose band
+    #: fits on-core, else the lax.scan path; "mega" forces the fused kernel
+    #: (interpret mode off-TPU — the test hook); "scan" forces the scan.
+    solver: str = "auto"
 
 
 @dataclass(frozen=True)

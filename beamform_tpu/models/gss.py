@@ -114,8 +114,62 @@ class GssModel(BatchableConstrainedModel):
                                     self.cdtype),
                 jnp.asarray(jnp.nan, dtype=self.rdtype))
 
+    def _strategy(self, s_cap: int) -> str:
+        """Demixing-update strategy: "mega" (one fused Pallas program —
+        the TPU float32 production path, kernels/gss_stream.py) or "scan"
+        (the lax.scan formulation — CPU, float64, and oversize configs)."""
+        from beamform_tpu.kernels.gss_stream import gss_fits
+        fits = gss_fits(self.geom.num_mics, self.ib, self.engine.fft_win,
+                        s_cap)
+        if self.params.solver == "mega":
+            if self.cdtype != jnp.complex64:
+                raise ValueError("the mega solver is a float32 strategy; "
+                                 "use solver='scan' with float64")
+            if not fits:
+                raise ValueError(
+                    f"solver='mega' exceeds the fused GSS kernel's on-core "
+                    f"capacity ({self.geom.num_mics} mics x {s_cap} source "
+                    f"slots, band bins {int(np.min(self.ib))}.."
+                    f"{int(np.max(self.ib))} of nfft {self.engine.fft_win};"
+                    f" bands touching bin 0 or the Nyquist bin are also "
+                    f"excluded) — use solver='scan'")
+            return "mega"
+        if (self.params.solver == "auto"
+                and common.use_wola_kernels(self.engine) and fits):
+            return "mega"
+        return "scan"
+
+    def _forward_mega(self, x, u_theta, u_angles, u_active, u_row0, idx,
+                      reset_extra, state):
+        """Mega-fused path (kernels/gss_stream.py): WOLA analysis, the
+        per-frame natural-gradient demixing update and the synthesis run in
+        ONE Pallas kernel marching the frame axis — spectra and the
+        demixing matrices never leave VMEM."""
+        p = self.params
+        carry, w0, prev_theta = state
+        a_uniq = self._steering_traced(u_theta, u_angles, u_active, u_row0)
+        ah = jnp.conj(jnp.moveaxis(a_uniq, (1, 2, 3), (3, 2, 1)))
+        # same staging barrier as LcmvModel._forward_mega: the combined
+        # steering-build + fused-kernel program intermittently faulted the
+        # axon worker at load without it
+        ah = jax.lax.optimization_barrier(ah)
+        th_val = jnp.asarray(u_theta, dtype=self.rdtype)[idx]
+        th_prev = jnp.concatenate([prev_theta[None], th_val[:-1]])
+        reset = (th_val != th_prev) | reset_extra
+        from beamform_tpu.kernels.gss_stream import gss_mega
+        audio, w_new, prev = gss_mega(
+            x, carry.tail, carry.out_prev, w0, ah, jnp.asarray(idx), reset,
+            self.ib, self.engine.fft_win, p.freq_mag_threshold, p.mu,
+            p.lam, interpret=not common.on_tpu_device())
+        tail = x[:, -self.engine.hop:]
+        return (audio * p.out_amp,
+                (common.WolaCarry(tail, prev), w_new, th_val[-1]))
+
     def _forward(self, x, u_theta, u_angles, u_active, u_row0, idx,
                  reset_extra, state):
+        if self._strategy(state[1].shape[-2]) == "mega":
+            return self._forward_mega(x, u_theta, u_angles, u_active,
+                                      u_row0, idx, reset_extra, state)
         p = self.params
         carry, w0, prev_theta = state
         a_uniq = self._steering_traced(u_theta, u_angles, u_active, u_row0)
