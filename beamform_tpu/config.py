@@ -272,6 +272,12 @@ class PhaseParams:
     #: experiment (docs/ROADMAP.md): bfloat16 mask arithmetic on the
     #: spectra planes; measured on-chip before adoption (see README)
     spectra_bf16: bool = False
+    #: mask strategy: "auto" picks the fused Pallas mask kernel
+    #: (kernels/phase_mask.py — alignment, atan2, pairwise distances and
+    #: the mask all VMEM-resident) on a TPU float32 engine; "fused" forces
+    #: it (interpret mode off-TPU — the test hook); "xla" forces the
+    #: batched XLA formulation.
+    solver: str = "auto"
 
 
 @dataclass(frozen=True)
@@ -307,6 +313,9 @@ class PhasempfParams:
     noise_floor: float = 0.001
     out_only_noise: bool = False
     out_only_mcra: bool = False
+    #: see PhaseParams.solver — "auto" fuses the dual-beam mask AND the
+    #: MCRA/MPF recurrence march into one Pallas kernel on TPU float32.
+    solver: str = "auto"
 
 
 PARAM_CLASSES = {

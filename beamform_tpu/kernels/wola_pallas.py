@@ -64,7 +64,14 @@ def _dot3(a, w_pair):
     ~2e-2 relative here) or HIGHEST (6-pass f32); the explicit
     hi*hi + hi*lo + lo*hi split drops only the lo*lo term (~2^-18
     relative, well inside the kernels' 1e-5 test budget vs the rFFT
-    path), at half of HIGHEST's MXU time."""
+    path), at half of HIGHEST's MXU time.
+
+    NOTE (round-3 advisor): switching these shared WOLA kernels to _dot3
+    lowered the pre-existing three-stage stream path's precision from
+    HIGHEST to the same ~2^-18 budget, not only the mega kernel's — the
+    change is deliberate and covered by the stream kernels' deviation
+    tests (test_wola_pallas.py, test_mvdr_stream.py budgets) and the
+    on-chip oracle sweep (tools/tpu_deviation_sweep.py)."""
     a_hi = a.astype(jnp.bfloat16)
     a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
     d = functools.partial(jax.lax.dot,
@@ -116,33 +123,37 @@ def _fwd_kernel(pv_ref, cu_ref, w1r_ref, w1i_ref, twr_ref, twi_ref,
                 *, m: int, n2: int, k2max: int, fb: int, nfft: int,
                 with_mag: bool):
     minv = np.float32(1.0 / (m * nfft))
-    for f in range(fb):
-        # the frame is [previous hop | current hop]; the halves stay
-        # separate (a sub-tile lane concat would relayout) and stage 1
-        # contracts each against its half of the DFT matrix:
-        # sum_n1 x[n1] W1[n1,k1] = sum_{n1<64} prev.. + sum_{n1>=64} cur..
-        p = pv_ref[f].reshape(n2 * m, 64) * wlo_ref[:]
-        c = cu_ref[f].reshape(n2 * m, 64) * whi_ref[:]
-        f1r = _dot3(p, w1r_ref[:, :64]) + _dot3(c, w1r_ref[:, 64:])
-        f1i = _dot3(p, w1i_ref[:, :64]) + _dot3(c, w1i_ref[:, 64:])
-        gr = f1r * twr_ref[:] - f1i * twi_ref[:]
-        gi = f1r * twi_ref[:] + f1i * twr_ref[:]
-        for k2 in range(k2max):
-            acc_r = jnp.zeros((m, 128), jnp.float32)
-            acc_i = jnp.zeros((m, 128), jnp.float32)
-            for j in range(n2):
-                w = np.exp(-2j * np.pi * (j * k2) / n2)
-                wr = float(np.float32(w.real))
-                wi = float(np.float32(w.imag))
-                grn = gr[j * m:(j + 1) * m]
-                gin = gi[j * m:(j + 1) * m]
-                acc_r, acc_i = _acc_term(acc_r, acc_i, grn, gin, wr, wi)
-            sr_ref[f, :, k2 * 128:(k2 + 1) * 128] = acc_r
-            si_ref[f, :, k2 * 128:(k2 + 1) * 128] = acc_i
-            if with_mag:
-                amag = jnp.sqrt(acc_r * acc_r + acc_i * acc_i)
-                mag_ref[f, 0:1, k2 * 128:(k2 + 1) * 128] = (
-                    jnp.sum(amag, axis=0, keepdims=True) * minv)
+    # the frame is [previous hop | current hop]; the halves stay separate
+    # (a sub-tile lane concat would relayout) and stage 1 contracts each
+    # against its half of the DFT matrix:
+    # sum_n1 x[n1] W1[n1,k1] = sum_{n1<64} prev.. + sum_{n1>=64} cur..
+    # All fb frames batch onto the untiled leading dim — per-frame (M, 128)
+    # ops are issue-overhead bound (measured 8.6 ms -> 3.3 ms for a 30 s
+    # 16-ch analysis); window/twiddle rows broadcast over the frame axis.
+    p = (pv_ref[...].reshape(fb, n2 * m, 64) * wlo_ref[:]).reshape(
+        fb * n2 * m, 64)
+    c = (cu_ref[...].reshape(fb, n2 * m, 64) * whi_ref[:]).reshape(
+        fb * n2 * m, 64)
+    f1r = _dot3(p, w1r_ref[:, :64]) + _dot3(c, w1r_ref[:, 64:])
+    f1i = _dot3(p, w1i_ref[:, :64]) + _dot3(c, w1i_ref[:, 64:])
+    f1r = f1r.reshape(fb, n2 * m, 128)
+    f1i = f1i.reshape(fb, n2 * m, 128)
+    gr = (f1r * twr_ref[:] - f1i * twi_ref[:]).reshape(fb, n2, m, 128)
+    gi = (f1r * twi_ref[:] + f1i * twr_ref[:]).reshape(fb, n2, m, 128)
+    for k2 in range(k2max):
+        acc_r = jnp.zeros((fb, m, 128), jnp.float32)
+        acc_i = jnp.zeros((fb, m, 128), jnp.float32)
+        for j in range(n2):
+            w = np.exp(-2j * np.pi * (j * k2) / n2)
+            acc_r, acc_i = _acc_term(acc_r, acc_i, gr[:, j], gi[:, j],
+                                     float(np.float32(w.real)),
+                                     float(np.float32(w.imag)))
+        sr_ref[:, :, k2 * 128:(k2 + 1) * 128] = acc_r
+        si_ref[:, :, k2 * 128:(k2 + 1) * 128] = acc_i
+        if with_mag:
+            amag = jnp.sqrt(acc_r * acc_r + acc_i * acc_i)
+            mag_ref[:, 0:1, k2 * 128:(k2 + 1) * 128] = (
+                jnp.sum(amag, axis=1, keepdims=True) * minv)
 
 
 MAX_CHANNELS_PER_BLOCK = 32

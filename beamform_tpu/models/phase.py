@@ -92,7 +92,55 @@ class PhaseModel(BatchableModel):
         return common.wola_carry_init(self.engine, self.geom.num_mics,
                                       self.rdtype)
 
+    def _strategy(self) -> str:
+        """Mask strategy: "fused" (one Pallas program between the WOLA
+        kernels, kernels/phase_mask.py — the TPU float32 production path)
+        or "xla" (batched formulation — CPU, float64, bf16 experiment)."""
+        solver = getattr(self.params, "solver", "auto")
+        if solver == "fused":
+            if self.cdtype != jnp.complex64:
+                raise ValueError("the fused mask is a float32 strategy; "
+                                 "use solver='xla' with float64")
+            return "fused"
+        if (solver == "auto" and common.use_wola_kernels(self.engine)
+                and not getattr(self.params, "spectra_bf16", False)):
+            return "fused"
+        return "xla"
+
+    def _forward_fused(self, x, thetas, w_idx, carry: common.WolaCarry):
+        """Fused path: analysis planes -> one mask kernel (alignment,
+        atan2, pairwise distances, gate — all VMEM-resident) -> fused
+        synthesis. Same algebra as the XLA path up to atan2 rounding
+        (~2 ulp; see kernels/phase_mask.py docstring)."""
+        from beamform_tpu.kernels.wola_pallas import (istft_ext_fused,
+                                                      stft_planes)
+        from beamform_tpu.kernels.phase_mask import phase_mask_pallas
+        interp = not common.on_tpu_device()
+        p = self.params
+        sr, si, _, tail = stft_planes(x, carry.tail, self.window,
+                                      self.engine, with_mag=False,
+                                      interpret=interp)
+        nibp = sr.shape[-1]
+        nb = common.num_bins(self.engine)
+        w_uniq = common.weights_for_thetas(self.geom, self.freqs, thetas,
+                                           self.rdtype, self.cdtype)
+        zp = jnp.zeros(w_uniq.shape[:2] + (nibp - nb,), jnp.float32)
+        wr_u = jnp.concatenate([w_uniq.real.astype(jnp.float32), zp], -1)
+        wi_u = jnp.concatenate([w_uniq.imag.astype(jnp.float32), zp], -1)
+        yr, yi = phase_mask_pallas(
+            sr, si, wr_u, wi_u, jnp.asarray(w_idx),
+            min_phase_rad=p.min_phase * np.pi / 180.0,
+            mag_threshold=p.mag_threshold, mag_mult=p.mag_mult,
+            nfft=self.engine.fft_win, ia=self.ia, ib=self.ib,
+            interpret=interp)
+        y = jax.lax.complex(yr[:, :nb], yi[:, :nb])
+        out, prev = istft_ext_fused(y, self.engine, self.window,
+                                    carry.out_prev, interpret=interp)
+        return out, common.WolaCarry(tail, prev)
+
     def _forward(self, x, thetas, w_idx, carry: common.WolaCarry):
+        if self._strategy() == "fused":
+            return self._forward_fused(x, thetas, w_idx, carry)
         spec, tail = common.stft_ext_carry(x, self.engine, self.window,
                                            self.cdtype, carry.tail)
         w_uniq = common.weights_for_thetas(self.geom, self.freqs, thetas,

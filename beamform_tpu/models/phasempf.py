@@ -52,9 +52,26 @@ class MpfState(NamedTuple):
     first_l: jnp.ndarray
 
 
+_MPF_INIT_MEMO = {}
+
+
 def mpf_init_state(nfft: int, rdtype) -> MpfState:
-    z = jnp.zeros((nfft,), dtype=rdtype)
-    return MpfState(z, z, z, z, z, z, z, jnp.int32(0), jnp.bool_(True))
+    """Built BY a compiled program and memoized: eager zeros/scalar
+    constants are host->device transfers, and serving re-inits state every
+    process() call — through the TPU tunnel each transfer costs ~2-3 ms
+    (see common.device_zeros for the same rationale)."""
+    key = (nfft, jnp.dtype(rdtype).str, str(jax.config.jax_default_device))
+    st = _MPF_INIT_MEMO.get(key)
+    if st is None:
+        def build():
+            z = jnp.zeros((nfft,), dtype=rdtype)
+            return MpfState(z, z, z, z, z, z, z, jnp.int32(0),
+                            jnp.bool_(True))
+        st = jax.jit(build)()
+        if len(_MPF_INIT_MEMO) > 16:
+            _MPF_INIT_MEMO.clear()
+        _MPF_INIT_MEMO[key] = st
+    return st
 
 
 def dual_beam(x_spec, weights, min_phase_rad, min_mag, ia, ib):
@@ -88,6 +105,16 @@ def buggy_freq_smooth(soi_sq, dc_amp):
     return s_f.at[..., 0].set(dc_amp)
 
 
+def _ma_shifted_sum(yp, size: int, n: int):
+    """sum of ``size`` shifted views — XLA fuses this into one elementwise
+    pass, where jnp.convolve lowers to a general conv that measured 3.3 ms
+    on a 30 s stream (vs ~0.1 ms here)."""
+    acc = yp[size - 1:size - 1 + n]
+    for k in range(1, size):
+        acc = acc + yp[size - 1 - k:size - 1 - k + n]
+    return acc / size
+
+
 def moving_average_causal(y, size: int):
     """Causal length-``size`` moving average with zero history, matching the
     shift-register smoother at phasempf.cpp:330-334."""
@@ -95,8 +122,7 @@ def moving_average_causal(y, size: int):
         return y
     pad = jnp.zeros((size - 1,), dtype=y.dtype)
     yp = jnp.concatenate([pad, y])
-    kernel = jnp.full((size,), 1.0 / size, dtype=y.dtype)
-    return jnp.convolve(yp, kernel, mode="valid")
+    return _ma_shifted_sum(yp, size, y.shape[0])
 
 
 def moving_average_causal_carry(y, size: int, tail):
@@ -105,8 +131,7 @@ def moving_average_causal_carry(y, size: int, tail):
     if size <= 1:
         return y, tail
     yp = jnp.concatenate([jnp.asarray(tail, dtype=y.dtype), y])
-    kernel = jnp.full((size,), 1.0 / size, dtype=y.dtype)
-    return jnp.convolve(yp, kernel, mode="valid"), yp[-(size - 1):]
+    return _ma_shifted_sum(yp, size, y.shape[0]), yp[-(size - 1):]
 
 
 class PhasempfModel(BatchableModel):
@@ -125,15 +150,81 @@ class PhasempfModel(BatchableModel):
         self._jit = jax.jit(self._forward)
 
     def stream_init(self):
-        smooth_tail = jnp.zeros((max(self.params.smooth_size - 1, 0),),
-                                dtype=self.rdtype)
+        smooth_tail = common.device_zeros(
+            (max(self.params.smooth_size - 1, 0),), self.rdtype)
         return (common.wola_carry_init(self.engine, self.geom.num_mics,
                                        self.rdtype),
                 mpf_init_state(common.num_bins(self.engine),
                                self.rdtype),
                 smooth_tail)
 
+    def _strategy(self) -> str:
+        """See PhaseModel._strategy; "fused" additionally marches the
+        MCRA/MPF recurrences inside the kernel (no lax.scan)."""
+        solver = getattr(self.params, "solver", "auto")
+        if solver == "fused":
+            if self.cdtype != jnp.complex64:
+                raise ValueError("the fused mask is a float32 strategy; "
+                                 "use solver='xla' with float64")
+            return "fused"
+        if solver == "auto" and common.use_wola_kernels(self.engine):
+            return "fused"
+        return "xla"
+
+    def _mstate_to_rows(self, mstate: MpfState, nibp: int):
+        """MpfState -> (9, NBP) f32 rows (kernels/phase_mask.MPF_ROWS):
+        per-bin vectors on the extended-layout prefix, the current_L /
+        first_L scalars lane-broadcast."""
+        nb = common.num_bins(self.engine)
+        rows = jnp.zeros((9, nibp), jnp.float32)
+        for i, v in enumerate((mstate.s_prev, mstate.s_tmp, mstate.s_min,
+                               mstate.lam_noise, mstate.z, mstate.lam_rev0,
+                               mstate.lam_rev1)):
+            rows = rows.at[i, :nb].set(v.astype(jnp.float32))
+        rows = rows.at[7, :].set(mstate.current_l.astype(jnp.float32))
+        rows = rows.at[8, :].set(mstate.first_l.astype(jnp.float32))
+        return rows
+
+    def _rows_to_mstate(self, rows) -> MpfState:
+        nb = common.num_bins(self.engine)
+        vs = [rows[i, :nb].astype(self.rdtype) for i in range(7)]
+        return MpfState(*vs, rows[7, 0].astype(jnp.int32), rows[8, 0] > 0.5)
+
+    def _forward_fused(self, x, thetas, w_idx, state):
+        """Fused path: analysis planes -> ONE kernel running the dual-beam
+        mask and the sequential MCRA/MPF march (state as VMEM rows) ->
+        fused synthesis; the output smoother stays a causal convolution."""
+        from beamform_tpu.kernels.wola_pallas import (istft_ext_fused,
+                                                      stft_planes)
+        from beamform_tpu.kernels.phase_mask import phasempf_march_pallas
+        interp = not common.on_tpu_device()
+        p = self.params
+        carry, mstate, smooth_tail = state
+        sr, si, _, tail = stft_planes(x, carry.tail, self.window,
+                                      self.engine, with_mag=False,
+                                      interpret=interp)
+        nibp = sr.shape[-1]
+        nb = common.num_bins(self.engine)
+        w_uniq = common.weights_for_thetas(self.geom, self.freqs, thetas,
+                                           self.rdtype, self.cdtype)
+        zp = jnp.zeros(w_uniq.shape[:2] + (nibp - nb,), jnp.float32)
+        wr_u = jnp.concatenate([w_uniq.real.astype(jnp.float32), zp], -1)
+        wi_u = jnp.concatenate([w_uniq.imag.astype(jnp.float32), zp], -1)
+        yr, yi, rows = phasempf_march_pallas(
+            sr, si, wr_u, wi_u, jnp.asarray(w_idx),
+            self._mstate_to_rows(mstate, nibp), p,
+            self.engine.bug_dc_zero, interpret=interp)
+        y = jax.lax.complex(yr[:, :nb], yi[:, :nb])
+        out, prev = istft_ext_fused(y, self.engine, self.window,
+                                    carry.out_prev, interpret=interp)
+        out, smooth_tail = moving_average_causal_carry(out, p.smooth_size,
+                                                       smooth_tail)
+        return out, (common.WolaCarry(tail, prev),
+                     self._rows_to_mstate(rows), smooth_tail)
+
     def _forward(self, x, thetas, w_idx, state):
+        if self._strategy() == "fused":
+            return self._forward_fused(x, thetas, w_idx, state)
         p = self.params
         carry, mstate, smooth_tail = state
         x_spec, tail = common.stft_ext_carry(x, self.engine, self.window,
