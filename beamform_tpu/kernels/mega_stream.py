@@ -182,7 +182,12 @@ def _mvdr_solve_frame(sr, si, ur, ui, linv_ref, solvers,
     yr_, yi_ = _cmul_conj(xc_r, xc_i, u_r, u_i)
     num_r = jnp.sum(yr_, axis=1, keepdims=True)
     num_i = jnp.sum(yi_, axis=1, keepdims=True)
-    scale = 1.0 / (den_r * den_r + den_i * den_i)
+    # den == 0 -> 0: MVDR's own steering vectors are unit-modulus (den=0
+    # unreachable), but s_cap==1 LCMV routes through this body and an
+    # all-zero constraint column must yield 0 exactly like
+    # constraint_space_apply's guard, not NaN
+    d2 = den_r * den_r + den_i * den_i
+    scale = jnp.where(d2 > 0.0, 1.0 / jnp.maximum(d2, 1e-38), 0.0)
     return ((num_r * den_r - num_i * den_i) * scale,
             (num_i * den_r + num_r * den_i) * scale)
 
@@ -517,7 +522,9 @@ def mega_fits(m: int, ib, nfft: int, s_cap: int = 0, w_hist: int = 16,
     those bands stay on the three-stage path, whose synthesis performs
     the exact extended-layout fold; (2) the VMEM scratch set (mirrors
     models/mvdr.py stream_solver_fits plus the fused extras: the W-frame
-    spectra ring + hist/ring blocks scale with ``w_hist``, hop scratch,
+    spectra ring + hist/ring blocks scale with ``w_hist``, the per-frame
+    LCMV control blocks and fb-row ysr/ysi scratch scale with the
+    effective fb — including the BEAMFORM_MEGA_FB override — hop scratch,
     band-coverage padding nibp = k2cov*128) must fit the budget."""
     from beamform_tpu.kernels.wola_pallas import MAX_CHANNELS_PER_BLOCK
     if m > MAX_CHANNELS_PER_BLOCK:
@@ -526,8 +533,12 @@ def mega_fits(m: int, ib, nfft: int, s_cap: int = 0, w_hist: int = 16,
         return False
     nibp = mega_k2cov(ib) * 128
     n2 = nfft // 128
+    fb = int(os.environ.get("BEAMFORM_MEGA_FB", FRAMES_PER_STEP))
     # ring scratch (2) + hist inputs (2) + ring outputs (2), all (W,M,NIBP)
     scratch = (6 * m * m + m + 6 * w_hist * m + 2 * s_cap * m) * nibp * 4
+    # worst case per-frame control planes (fb, S, M, NIBP) x2, both
+    # double-buffered, + the fb-row combine scratch
+    scratch += (4 * fb * s_cap * m + 2 * fb) * nibp * 4
     scratch += (n2 * m * 64 + n2 * 64) * 4
     return scratch <= budget
 

@@ -161,7 +161,9 @@ class GssModel(BatchableConstrainedModel):
             x, carry.tail, carry.out_prev, w0, ah, jnp.asarray(idx), reset,
             self.ib, self.engine.fft_win, p.freq_mag_threshold, p.mu,
             p.lam, interpret=not common.on_tpu_device())
-        tail = x[:, -self.engine.hop:]
+        # sub-hop chunk: keep the carried tail (see MvdrModel._forward_mega)
+        tail = (carry.tail if x.shape[1] < self.engine.hop
+                else x[:, -self.engine.hop:])
         return (audio * p.out_amp,
                 (common.WolaCarry(tail, prev), w_new, th_val[-1]))
 

@@ -186,7 +186,9 @@ class LcmvModel(BatchableConstrainedModel):
             x, carry.tail, carry.out_prev, hist0, c_k, jnp.asarray(idx),
             self.ib, self.engine.fft_win, p.past_windows,
             p.freq_mag_threshold, interpret=not common.on_tpu_device())
-        tail = x[:, -self.engine.hop:]
+        # sub-hop chunk: keep the carried tail (see MvdrModel._forward_mega)
+        tail = (carry.tail if x.shape[1] < self.engine.hop
+                else x[:, -self.engine.hop:])
         return audio * p.out_amp, (common.WolaCarry(tail, prev), hist)
 
     def _forward_stream(self, x, u_theta, u_angles, u_active, u_row0, idx,

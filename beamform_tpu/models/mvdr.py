@@ -242,7 +242,11 @@ class MvdrModel(BatchableModel):
             jnp.asarray(w_idx), self.ib, self.engine.fft_win,
             p.past_windows, p.freq_mag_threshold,
             interpret=not common.on_tpu_device())
-        tail = x[:, -self.engine.hop:]
+        # sub-hop chunk: the kernel's early return marched nothing, so the
+        # carried tail must stay intact (an undersized x[:, -hop:] would
+        # corrupt the WolaCarry shape for the next chunk)
+        tail = (carry.tail if x.shape[1] < self.engine.hop
+                else x[:, -self.engine.hop:])
         return audio * p.out_amp, (common.WolaCarry(tail, prev), hist)
 
     def _forward_stream(self, x, thetas, w_idx, state):
