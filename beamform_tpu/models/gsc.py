@@ -42,12 +42,31 @@ class GscState(NamedTuple):
     filt: jnp.ndarray       # (M-1, K) adaptive filters
     last_out: jnp.ndarray   # (K,) recent outputs
     # block-kernel extras (kernels/gsc_block.py): window-pair Grams at
-    # lags 0..7 and the 8 pre-register u samples. The scan path passes
-    # them through untouched (they are only consumed/maintained by the
-    # block kernel; a scan-written checkpoint resumed on the block path
-    # replays with zero Grams — a <=7-sample correction transient).
+    # lags 0..7 and the 8 pre-register u samples. Only the block kernel
+    # consumes them, but EVERY path refreshes them from the u stream at
+    # chunk boundaries (gram_refresh) so a checkpoint written by any
+    # solver resumes on the block path without a correction transient
+    # (tests/test_gsc_block.py::test_gsc_cross_solver_resume).
     gram: jnp.ndarray       # (M-1, 8)
     uold: jnp.ndarray       # (M-1, 8)
+
+
+def gram_refresh(block_in, uold_in, u_new, k: int):
+    """Recompute the block kernel's lookahead state from the u stream.
+
+    ``block_in``/``uold_in``: the PRE-chunk register and pre-register
+    history (u[t0-K..t0-1] and u[t0-K-8..t0-K-1]); ``u_new``: this chunk's
+    blocking-matrix samples (..., C, S). Their concatenation is the
+    contiguous u stream, so the window-pair Grams
+    gram[l] = <b(t-1-l), b(t-1)> (b = K-tap window) and the 8 pre-register
+    samples fall out of the last K+8 values. Returns (gram (..., C, 8),
+    uold (..., C, 8))."""
+    ext = jnp.concatenate([uold_in, block_in, u_new], axis=-1)[..., -(k + 8):]
+    base = ext[..., 8:]
+    gram = jnp.stack(
+        [jnp.sum(ext[..., 8 - l:8 - l + k] * base, axis=-1)
+         for l in range(8)], axis=-1)
+    return gram, ext[..., :8]
 
 
 def gsc_init_state(num_mics: int, filter_size: int, rdtype) -> GscState:
@@ -163,27 +182,24 @@ class GscModel(BatchableModel):
         kernel (kernels/gsc_block.py); falls back to the per-sample kernel
         via solver='sample' for A/B comparison."""
         solver = getattr(self.params, "solver", "block")
-        if solver == "blocklms":
-            from beamform_tpu.kernels.gsc_blocklms import (
-                gsc_blocklms_pallas_batched)
-            out, blk, flt, lo = gsc_blocklms_pallas_batched(
+        if solver in ("blocklms", "sample", "xmu"):
+            if solver == "blocklms":
+                from beamform_tpu.kernels.gsc_blocklms import (
+                    gsc_blocklms_pallas_batched as kernel)
+            elif solver == "sample":
+                from beamform_tpu.kernels.gsc_pallas import (
+                    gsc_adaptive_pallas_batched as kernel)
+            else:
+                from beamform_tpu.kernels.gsc_pallas import (
+                    gsc_adaptive_pallas_xmu as kernel)
+            out, blk, flt, lo = kernel(
                 aligned_b, gstate.block, gstate.filt, gstate.last_out,
                 self.params)
-            return out, GscState(blk, flt, lo, gstate.gram, gstate.uold)
-        if solver == "sample":
-            from beamform_tpu.kernels.gsc_pallas import (
-                gsc_adaptive_pallas_batched)
-            out, blk, flt, lo = gsc_adaptive_pallas_batched(
-                aligned_b, gstate.block, gstate.filt, gstate.last_out,
-                self.params)
-            return out, GscState(blk, flt, lo, gstate.gram, gstate.uold)
-        if solver == "xmu":
-            from beamform_tpu.kernels.gsc_pallas import (
-                gsc_adaptive_pallas_xmu)
-            out, blk, flt, lo = gsc_adaptive_pallas_xmu(
-                aligned_b, gstate.block, gstate.filt, gstate.last_out,
-                self.params)
-            return out, GscState(blk, flt, lo, gstate.gram, gstate.uold)
+            gram, uold = gram_refresh(
+                gstate.block, gstate.uold,
+                aligned_b[:, 1:, :] - aligned_b[:, :-1, :],
+                self.params.filter_size)
+            return out, GscState(blk, flt, lo, gram, uold)
         from beamform_tpu.kernels.gsc_block import gsc_block_pallas_batched
         out, blk, flt, lo, gram, uold = gsc_block_pallas_batched(
             aligned_b, gstate.block, gstate.filt, gstate.last_out,
@@ -207,14 +223,22 @@ class GscModel(BatchableModel):
             out, blk, flt, lo = gsc_blocklms_scan(
                 aligned, gstate.block, gstate.filt, gstate.last_out,
                 self.params)
-            return out, (carry, GscState(blk, flt, lo, gstate.gram,
-                                         gstate.uold))
+            gram, uold = gram_refresh(gstate.block, gstate.uold,
+                                      aligned[1:] - aligned[:-1],
+                                      self.params.filter_size)
+            return out, (carry, GscState(blk, flt, lo, gram, uold))
 
         def step(st, a_t):
             return gsc_sample_step(st, a_t, self.params,
                                    with_mu=self.params.write_mu)
 
+        gin = gstate
         gstate, ys = jax.lax.scan(step, gstate, jnp.moveaxis(aligned, 0, 1))
+        gram, uold = gram_refresh(gin.block, gin.uold,
+                                  aligned[1:] - aligned[:-1],
+                                  self.params.filter_size)
+        gstate = GscState(gstate.block, gstate.filt, gstate.last_out,
+                          gram, uold)
         if self.params.write_mu:
             out, mu0, upd = ys
             return out, (carry, gstate), (mu0, upd)
@@ -294,7 +318,10 @@ class GscModel(BatchableModel):
                 out, blk, flt, lo = gsc_blocklms_scan(
                     a_stream, gst.block, gst.filt, gst.last_out,
                     self.params)
-                return out, GscState(blk, flt, lo, gst.gram, gst.uold)
+                gram, uold = gram_refresh(gst.block, gst.uold,
+                                          a_stream[1:] - a_stream[:-1],
+                                          self.params.filter_size)
+                return out, GscState(blk, flt, lo, gram, uold)
 
             out, gstate = jax.vmap(one_blk)(aligned, gstate)
             return out, (carry, gstate)
@@ -302,7 +329,13 @@ class GscModel(BatchableModel):
         def one(a_stream, gst):
             def step(st, a_t):
                 return gsc_sample_step(st, a_t, self.params)
-            return jax.lax.scan(step, gst, jnp.moveaxis(a_stream, 0, 1))
+            new, out = jax.lax.scan(step, gst,
+                                    jnp.moveaxis(a_stream, 0, 1))
+            gram, uold = gram_refresh(gst.block, gst.uold,
+                                      a_stream[1:] - a_stream[:-1],
+                                      self.params.filter_size)
+            return GscState(new.block, new.filt, new.last_out,
+                            gram, uold), out
 
         gstate, out = jax.vmap(one)(aligned, gstate)
         return out, (carry, gstate)

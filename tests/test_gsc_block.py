@@ -111,3 +111,45 @@ def test_block_cold_start_inf_scrub():
     assert np.isfinite(np.asarray(out)).all()
     np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref),
                                atol=1e-5)
+
+
+def test_gsc_cross_solver_resume():
+    """A checkpoint written by the scan path resumes on the block path with
+    NO correction transient: every forward now refreshes gram/uold from the
+    u stream at chunk boundaries (models/gsc.py:gram_refresh), so the block
+    kernel's lookahead state is exact regardless of which solver wrote it."""
+    from beamform_tpu.models.gsc import GscState, gram_refresh, gsc_sample_step
+
+    b, m, k = 1, 4, 128
+    half = 2 * 128
+    params = GscParams(mu0=0.05, mu_max=0.1, filter_size=k)
+    rng = np.random.default_rng(3)
+    a = jnp.asarray(
+        (0.3 * rng.standard_normal((b, m, 2 * half))).astype(np.float32))
+
+    # ground truth: scan over the full stream
+    _, out_full = run_scan(a, params, b)
+
+    # first half on the SCAN path, with the model's boundary gram refresh
+    def one(a_stream, gst):
+        def step(st, a_t):
+            return gsc_sample_step(st, a_t, params)
+        new, out = jax.lax.scan(step, gst, jnp.moveaxis(a_stream, 0, 1))
+        gram, uold = gram_refresh(gst.block, gst.uold,
+                                  a_stream[1:] - a_stream[:-1], k)
+        return GscState(new.block, new.filt, new.last_out, gram, uold), out
+
+    st0 = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (b,) + x.shape),
+        gsc_init_state(m, k, jnp.float32))
+    st1, out1 = jax.vmap(one)(a[..., :half], st0)
+
+    # second half resumed on the BLOCK path from the scan-written state
+    out2, *_ = gsc_block_pallas_batched(
+        a[..., half:], st1.block, st1.filt, st1.last_out, st1.gram,
+        st1.uold, params, chunk=128, interpret=True)
+
+    got = np.concatenate([np.asarray(out1), np.asarray(out2)], axis=1)
+    scale = float(jnp.abs(out_full).max())
+    np.testing.assert_allclose(got, np.asarray(out_full),
+                               atol=3e-5 * max(scale, 1.0))
