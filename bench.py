@@ -260,6 +260,8 @@ def main():
 
     x = make_input(args.mics, args.seconds, 48000)
 
+    from beamform_tpu.utils.roofline import annotate as roofline
+
     xrt, das_spread = bench_model("das", x, cfg, args.seconds)
     result = {
         "metric": f"xrt_das_{args.mics}ch_48kHz",
@@ -270,7 +272,8 @@ def main():
         "sets": 3,
     }
     stats = {"das": {"median": round(xrt, 1),
-                     "spread": round(das_spread, 3)}}
+                     "spread": round(das_spread, 3),
+                     **roofline("das", xrt, args.mics)}}
 
     def budget_left():
         return (time.perf_counter() - t_start) < args.budget
@@ -299,7 +302,8 @@ def main():
                                       LAUNCH[name], repeats=4, sets=nsets)
                 table[name] = round(med, 1)
                 stats[name] = {"median": round(med, 1),
-                               "spread": round(sp, 3), "sets": nsets}
+                               "spread": round(sp, 3), "sets": nsets,
+                               **roofline(name, med, args.mics)}
             except Exception as e:  # keep the headline alive
                 table[name] = f"ERROR {type(e).__name__}: {e}"[:120]
             print(f"  {name}: {table[name]} xRT "
@@ -317,7 +321,8 @@ def main():
                                       repeats=4)
                 result["gsc_fast_xrt"] = round(med, 1)
                 stats["gsc_fast"] = {"median": round(med, 1),
-                                     "spread": round(sp, 3)}
+                                     "spread": round(sp, 3),
+                                     **roofline("gsc", med, args.mics)}
             except Exception as e:
                 result["gsc_fast_xrt"] = f"ERROR {type(e).__name__}: {e}"[:120]
             print(f"  gsc_fast: {result['gsc_fast_xrt']}", file=sys.stderr)
@@ -333,7 +338,8 @@ def main():
                                         32, args.mics, LAUNCH["gsc"])
                 result["gsc_batch32_aggregate_xrt"] = round(med, 1)
                 stats["gsc_batch32"] = {"median": round(med, 1),
-                                        "spread": round(sp, 3)}
+                                        "spread": round(sp, 3),
+                                        **roofline("gsc", med, args.mics)}
             except Exception as e:
                 result["gsc_batch32_aggregate_xrt"] = (
                     f"ERROR {type(e).__name__}: {e}"[:120])
@@ -349,7 +355,9 @@ def main():
                                         32, args.mics, fast)
                 result["gsc_fast_batch32_aggregate_xrt"] = round(med, 1)
                 stats["gsc_fast_batch32"] = {"median": round(med, 1),
-                                             "spread": round(sp, 3)}
+                                             "spread": round(sp, 3),
+                                             **roofline("gsc", med,
+                                                        args.mics)}
             except Exception as e:
                 result["gsc_fast_batch32_aggregate_xrt"] = (
                     f"ERROR {type(e).__name__}: {e}"[:120])
@@ -367,8 +375,10 @@ def main():
                 med, sp = bench_model(name, xs, cfg, args.seconds,
                                       LAUNCH[name], repeats=4)
                 result[key] = round(med, 1)
-                stats[f"{name}_speech"] = {"median": round(med, 1),
-                                           "spread": round(sp, 3)}
+                stats[f"{name}_speech"] = {
+                    "median": round(med, 1), "spread": round(sp, 3),
+                    **roofline(name, med, args.mics,
+                               gate_rate=result["gate_pass_rate_speech"])}
             except Exception as e:
                 result[key] = f"ERROR {type(e).__name__}: {e}"[:120]
             print(f"  {key}: {result[key]}", file=sys.stderr)
@@ -386,7 +396,8 @@ def main():
                                         8, args.mics, LAUNCH[name])
                 result[key] = round(med, 1)
                 stats[f"{name}_batch8"] = {"median": round(med, 1),
-                                           "spread": round(sp, 3)}
+                                           "spread": round(sp, 3),
+                                           **roofline(name, med, args.mics)}
             except Exception as e:
                 result[key] = f"ERROR {type(e).__name__}: {e}"[:120]
             print(f"  {key}: {result[key]}", file=sys.stderr)
