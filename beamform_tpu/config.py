@@ -25,11 +25,19 @@ Reference semantics reproduced here:
 from __future__ import annotations
 
 import dataclasses
+import logging
 import math
 from dataclasses import dataclass
 from typing import Any, Dict, List, Optional
 
 import yaml
+
+# Parameter-resolution log, mirroring the reference's per-parameter
+# ROS_INFO/ROS_WARN lines (mvdr.cpp:150-186 pattern repeated in every node's
+# *_handle_params). Silent unless the application configures logging — the
+# CLI does (runtime/cli.py), so `beamform-tpu mvdr ...` prints the same
+# warn-and-default trail `roslaunch beamform mvdr.launch` would.
+log = logging.getLogger("beamform_tpu.config")
 
 # Output-type policy (rosjack.h:28-31).
 ROSJACK_OUT_BOTH = 0
@@ -359,6 +367,12 @@ def make_params(model: str, overrides: Optional[Dict[str, Any]] = None):
     Unknown keys are ignored with the same silently-forgiving behavior the
     ROS param server gives the reference (a node only reads keys it knows).
     ``lambda`` is accepted as an alias for :attr:`GssParams.lam`.
+
+    Each known parameter is logged the way the reference's
+    ``*_handle_params`` does (mvdr.cpp:150-186): INFO when supplied, WARN
+    with the default value when absent. ``solver``/``spectra_bf16`` are our
+    implementation knobs, not reference parameters — they are logged at
+    DEBUG only when explicitly set, never warned about.
     """
     cls = PARAM_CLASSES[model]
     fields = {f.name for f in dataclasses.fields(cls)}
@@ -368,7 +382,20 @@ def make_params(model: str, overrides: Optional[Dict[str, Any]] = None):
             key = "lam"
         if key in fields:
             kw[key] = val
-    return cls(**kw)
+    obj = cls(**kw)
+    _IMPL_KNOBS = {"solver", "spectra_bf16"}
+    for f in dataclasses.fields(cls):
+        if f.name in _IMPL_KNOBS:
+            if f.name in kw:
+                log.debug("%s/%s (impl knob): %s", model, f.name, kw[f.name])
+            continue
+        if f.name in kw:
+            log.info("%s/%s: %s", model, f.name, kw[f.name])
+        else:
+            log.warning(
+                "%s/%s argument not found in config, using default value "
+                "(%s).", model, f.name, getattr(obj, f.name))
+    return obj
 
 
 @dataclass(frozen=True)

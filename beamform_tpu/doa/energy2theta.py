@@ -179,6 +179,10 @@ class SpecGradientDoa:
     sample_rate: int = 48000
     energy_calc_method: str = "history"
     alpha: float = 1000.0
+    #: optional live monitor (doa.monitor.SpecDoaMonitor): receives the
+    #: (rms, delta, energy) triple of every "history" objective evaluation,
+    #: the three scatter series of energy2theta-spec.py:91-95.
+    monitor: object = None
 
     _windows: deque = field(default_factory=deque)
     _past_energy: float = -100.0
@@ -206,6 +210,10 @@ class SpecGradientDoa:
             delta = past[-1] - past.mean()
             with np.errstate(divide="ignore", invalid="ignore"):
                 energy = float(past[-1] / (delta * self.alpha))
+            if self.monitor is not None:
+                # the reference scatters the raw (possibly non-finite)
+                # energy before its NaN guard (energy2theta-spec.py:91-98)
+                self.monitor.update(float(past[-1]), float(delta), energy)
         else:
             energy = -100.0
         if np.isnan(energy):

@@ -79,6 +79,15 @@ def build_parser():
     p.add_argument("--live-chunk", type=int, default=4,
                    help="hops per processing chunk in --live mode (latency "
                         "vs throughput)")
+    p.add_argument("--device", default=None,
+                   help="with --live: capture/play through this ALSA PCM "
+                        "(e.g. 'default', 'hw:0') in-process instead of "
+                        "stdin/stdout pipes — the reference's JACK-client "
+                        "role (rosjack.cpp:102-157,234-270). Degrades with "
+                        "a clear error when no sound stack exists.")
+    p.add_argument("--device-out", default=None,
+                   help="separate ALSA PCM for playback (default: same as "
+                        "--device)")
     p.add_argument("--out", dest="output", default=None,
                    help="output WAV path (default: rosjack write_file_path "
                         "or <in>.<node>.wav)")
@@ -97,6 +106,12 @@ def build_parser():
                    help="hop size in samples (JACK buffer size equivalent)")
     p.add_argument("--dtype", choices=("float32", "float64"),
                    default="float32")
+    p.add_argument("--log-level", choices=("debug", "info", "warning",
+                                           "error"), default="warning",
+                   help="console log level; 'warning' (default) prints the "
+                        "reference-style warn-and-default line for every "
+                        "parameter not supplied (mvdr.cpp:150-186 pattern), "
+                        "'info' also echoes supplied parameters")
     p.add_argument("--param", action="append", default=[],
                    metavar="KEY=VALUE",
                    help="node hyperparameter override (repeatable), e.g. "
@@ -348,6 +363,25 @@ def run_live(args) -> int:
     if args.load_state:
         sess.load(args.load_state)
 
+    # In-process audio device (the reference's JACK-client role): open
+    # before the expensive warm-up compile so a missing sound stack fails
+    # fast with the reason, not after minutes of XLA work.
+    alsa_in = alsa_out = None
+    if args.device:
+        from beamform_tpu.runtime.native import AlsaPcm
+        try:
+            alsa_in = AlsaPcm(args.device, capture=True,
+                              channels=channels, rate=fs)
+            alsa_out = AlsaPcm(args.device_out or args.device,
+                               capture=False, channels=1, rate=fs)
+        except RuntimeError as e:
+            print(f"error: {e}", file=sys.stderr)
+            print("hint: no usable ALSA runtime/device on this host; use "
+                  "pipe mode (--live without --device, e.g. through "
+                  "arecord/aplay on a machine that has them)",
+                  file=sys.stderr)
+            return 2
+
     theta = args.theta if args.theta is not None else array_cfg.initial_angle
     hop = engine.hop
     chunk = args.live_chunk * hop
@@ -412,6 +446,33 @@ def run_live(args) -> int:
     from beamform_tpu.utils.profiling import RealTimeMonitor
     sess.monitor = RealTimeMonitor(fs)
 
+    if alsa_in is not None:
+        # Device-paced loop: the hardware clock provides the real-time
+        # contract (blocking readi), so there is no backlog to shed —
+        # overruns surface as ALSA xruns, recovered and counted in
+        # bio_alsa_read/write like jack_xrun_callback (rosjack.cpp:78-82).
+        try:
+            while True:
+                block = alsa_in.read(chunk)
+                if args.theta_control:
+                    theta = _poll_theta(args.theta_control, theta)
+                chunk_kw = {}
+                if interf_ctrl is not None:
+                    reset = interf_ctrl.poll()
+                    chunk_kw["interference"] = interf_ctrl.machine.rows(
+                        args.live_chunk, reset_first=reset)
+                y = np.asarray(sess.process(block, theta, **chunk_kw),
+                               dtype=np.float32)
+                alsa_out.write(y)
+        except KeyboardInterrupt:
+            pass
+        report = sess.monitor.report()
+        report["alsa_xruns"] = alsa_in.xruns + alsa_out.xruns
+        alsa_in.close()
+        alsa_out.close()
+        print(json.dumps({"live": report}), file=sys.stderr)
+        return 0
+
     total_dropped = 0
     silence = np.zeros(chunk, dtype="<f4").tobytes()
     while True:
@@ -448,6 +509,18 @@ def run_live(args) -> int:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+
+    # Reference-style console logging: every node prints an INFO/WARN line
+    # per parameter as it resolves them (mvdr.cpp:150-186 and the same
+    # pattern in every *_handle_params). config.make_params emits those on
+    # the "beamform_tpu.config" logger; surface them on stderr here.
+    import logging
+    handler = logging.StreamHandler(sys.stderr)
+    handler.setFormatter(
+        logging.Formatter("[%(levelname)s] [%(name)s]: %(message)s"))
+    pkg_log = logging.getLogger("beamform_tpu")
+    pkg_log.addHandler(handler)     # scoped: don't duplicate jax's handlers
+    pkg_log.setLevel(getattr(logging, args.log_level.upper()))
 
     # Some TPU plugins ignore JAX_PLATFORMS; honor a cpu request explicitly.
     import os

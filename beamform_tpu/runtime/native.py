@@ -34,7 +34,7 @@ def _build() -> Optional[str]:
     try:
         subprocess.run(
             ["g++", "-O3", "-march=native", "-fPIC", "-std=c++17",
-             "-shared", "-o", so, src, "-lm"],
+             "-shared", "-o", so, src, "-lm", "-ldl"],
             check=True, capture_output=True, timeout=120)
         return so
     except Exception:
@@ -80,6 +80,18 @@ def load() -> Optional[ctypes.CDLL]:
     lib.bio_src_process.argtypes = [c.c_void_p, c.POINTER(c.c_float),
                                     c.c_long, c.POINTER(c.c_float), c.c_long]
     lib.bio_src_free.argtypes = [c.c_void_p]
+    lib.bio_alsa_runtime_available.restype = c.c_int
+    lib.bio_alsa_open.restype = c.c_void_p
+    lib.bio_alsa_open.argtypes = [c.c_char_p, c.c_int, c.c_int, c.c_int,
+                                  c.c_int, c.c_char_p, c.c_int]
+    lib.bio_alsa_read.restype = c.c_long
+    lib.bio_alsa_read.argtypes = [c.c_void_p, c.POINTER(c.c_float), c.c_long]
+    lib.bio_alsa_write.restype = c.c_long
+    lib.bio_alsa_write.argtypes = [c.c_void_p, c.POINTER(c.c_float),
+                                   c.c_long]
+    lib.bio_alsa_xruns.restype = c.c_long
+    lib.bio_alsa_xruns.argtypes = [c.c_void_p]
+    lib.bio_alsa_close.argtypes = [c.c_void_p]
     _LIB = lib
     return lib
 
@@ -200,6 +212,69 @@ class WavStream:
     def close(self):
         if getattr(self, "_h", None):
             self._lib.bio_wav_stream_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        self.close()
+
+
+def alsa_available() -> bool:
+    """True when BOTH the native library builds and a libasound runtime is
+    present on the host (csrc/beamio.cpp binds it via dlopen — no ALSA
+    development environment is needed at build time)."""
+    lib = load()
+    return bool(lib is not None and lib.bio_alsa_runtime_available())
+
+
+class AlsaPcm:
+    """One ALSA PCM direction: the in-process audio-device role of the
+    reference's JACK client (rosjack.cpp:102-157 client+ports, :234-270
+    auto-connect). Interleaved float32 at the engine rate; xruns recovered
+    and counted like jack_xrun_callback (rosjack.cpp:78-82).
+
+    Raises RuntimeError with the underlying reason when no sound stack or
+    device exists, so callers can degrade to pipe mode."""
+
+    def __init__(self, device: str = "default", *, capture: bool,
+                 channels: int, rate: int, latency_us: int = 100_000):
+        self._lib = load()
+        self._h = None
+        if self._lib is None:
+            raise RuntimeError("native beamio library unavailable")
+        err = ctypes.create_string_buffer(256)
+        self._h = self._lib.bio_alsa_open(
+            device.encode(), int(capture), channels, rate, latency_us,
+            err, len(err))
+        if not self._h:
+            raise RuntimeError(
+                f"ALSA open({device!r}, capture={capture}) failed: "
+                f"{err.value.decode(errors='replace')}")
+        self.channels = channels
+        self.capture = capture
+
+    def read(self, frames: int) -> np.ndarray:
+        """Blocking capture of (channels, frames) float32."""
+        out = np.empty((frames, self.channels), dtype=np.float32)
+        got = self._lib.bio_alsa_read(self._h, _fp(out), frames)
+        if got < frames:
+            out[got:] = 0.0
+        return np.ascontiguousarray(out.T)
+
+    def write(self, data) -> int:
+        """Blocking playback of (channels, frames) or (frames,) float32."""
+        x = np.asarray(data, dtype=np.float32)
+        if x.ndim == 1:
+            x = x[None, :]
+        inter = np.ascontiguousarray(x.T)
+        return int(self._lib.bio_alsa_write(self._h, _fp(inter), x.shape[1]))
+
+    @property
+    def xruns(self) -> int:
+        return int(self._lib.bio_alsa_xruns(self._h))
+
+    def close(self):
+        if getattr(self, "_h", None):
+            self._lib.bio_alsa_close(self._h)
             self._h = None
 
     def __del__(self):

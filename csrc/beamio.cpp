@@ -397,6 +397,182 @@ long bio_src_process(void* handle, const float* in, long n_in, float* out,
 
 void bio_src_free(void* h) { delete (BioSrc*)h; }
 
-const char* bio_version() { return "beamio 0.1.0"; }
+}  // extern "C"
+
+// ----------------------- ALSA capture / playback ---------------------------
+// The in-process audio-device role of the reference's JACK client
+// (rosjack.cpp:102-157 creates the client + ports and registers the
+// real-time callback; :234-270 auto-connects the capture/playback ports).
+// There is no JACK or ALSA development environment in this image, so the
+// backend binds libasound AT RUNTIME via dlopen with a hand-declared ABI:
+// the library builds and loads everywhere, bio_alsa_runtime_available()
+// reports whether a sound stack actually exists, and open fails with a
+// readable error string when it doesn't — the degrade-gracefully contract.
+//
+// Format policy mirrors the pipe mode (and JACK's native sample type):
+// interleaved float32 at the engine rate. Overruns/underruns are recovered
+// in place with snd_pcm_recover and COUNTED, exactly the reference's xrun
+// accounting (rosjack.cpp:78-82 jack_xrun_callback).
+
+#include <dlfcn.h>
+
+namespace {
+
+// libasound ABI subset (alsa/pcm.h): enum values are part of the stable ABI.
+constexpr int kSndPcmStreamPlayback = 0;
+constexpr int kSndPcmStreamCapture = 1;
+constexpr int kSndPcmFormatFloatLE = 14;
+constexpr int kSndPcmAccessRwInterleaved = 3;
+
+struct AlsaApi {
+  void* dl = nullptr;
+  int (*pcm_open)(void**, const char*, int, int) = nullptr;
+  int (*set_params)(void*, int, int, unsigned, unsigned, int, unsigned)
+      = nullptr;
+  long (*readi)(void*, void*, unsigned long) = nullptr;
+  long (*writei)(void*, const void*, unsigned long) = nullptr;
+  int (*recover)(void*, int, int) = nullptr;
+  int (*prepare)(void*) = nullptr;
+  int (*drain)(void*) = nullptr;
+  int (*close)(void*) = nullptr;
+  const char* (*strerror_)(int) = nullptr;
+};
+
+AlsaApi* alsa_api() {
+  static AlsaApi api;
+  static bool tried = false;
+  if (tried) return api.dl ? &api : nullptr;
+  tried = true;
+  void* dl = dlopen("libasound.so.2", RTLD_NOW | RTLD_LOCAL);
+  if (!dl) dl = dlopen("libasound.so", RTLD_NOW | RTLD_LOCAL);
+  if (!dl) return nullptr;
+  auto sym = [&](const char* name) { return dlsym(dl, name); };
+  api.pcm_open = (int (*)(void**, const char*, int, int))sym("snd_pcm_open");
+  api.set_params = (int (*)(void*, int, int, unsigned, unsigned, int,
+                            unsigned))sym("snd_pcm_set_params");
+  api.readi = (long (*)(void*, void*, unsigned long))sym("snd_pcm_readi");
+  api.writei =
+      (long (*)(void*, const void*, unsigned long))sym("snd_pcm_writei");
+  api.recover = (int (*)(void*, int, int))sym("snd_pcm_recover");
+  api.prepare = (int (*)(void*))sym("snd_pcm_prepare");
+  api.drain = (int (*)(void*))sym("snd_pcm_drain");
+  api.close = (int (*)(void*))sym("snd_pcm_close");
+  api.strerror_ = (const char* (*)(int))sym("snd_strerror");
+  if (!api.pcm_open || !api.set_params || !api.readi || !api.writei ||
+      !api.recover || !api.close) {
+    dlclose(dl);
+    return nullptr;
+  }
+  api.dl = dl;
+  return &api;
+}
+
+struct BioAlsa {
+  void* pcm = nullptr;
+  int channels = 0;
+  bool capture = false;
+  long xruns = 0;
+};
+
+void set_err(char* errbuf, int errlen, const char* msg) {
+  if (errbuf && errlen > 0) {
+    snprintf(errbuf, (size_t)errlen, "%s", msg);
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+int bio_alsa_runtime_available(void) { return alsa_api() != nullptr; }
+
+// Open one PCM direction. capture=1 for the record stream (the reference's
+// input ports, rosjack.cpp:234-250), 0 for playback (:252-270). Returns a
+// handle or NULL; on failure errbuf holds a human-readable reason.
+void* bio_alsa_open(const char* device, int capture, int channels, int rate,
+                    int latency_us, char* errbuf, int errlen) {
+  AlsaApi* api = alsa_api();
+  if (!api) {
+    set_err(errbuf, errlen,
+            "libasound not present on this host (no ALSA runtime)");
+    return nullptr;
+  }
+  void* pcm = nullptr;
+  int rc = api->pcm_open(&pcm, device ? device : "default",
+                         capture ? kSndPcmStreamCapture
+                                 : kSndPcmStreamPlayback,
+                         0 /* blocking */);
+  if (rc < 0) {
+    set_err(errbuf, errlen,
+            api->strerror_ ? api->strerror_(rc) : "snd_pcm_open failed");
+    return nullptr;
+  }
+  rc = api->set_params(pcm, kSndPcmFormatFloatLE, kSndPcmAccessRwInterleaved,
+                       (unsigned)channels, (unsigned)rate, 1 /* resample */,
+                       (unsigned)latency_us);
+  if (rc < 0) {
+    set_err(errbuf, errlen,
+            api->strerror_ ? api->strerror_(rc) : "snd_pcm_set_params failed");
+    api->close(pcm);
+    return nullptr;
+  }
+  auto* h = new BioAlsa;
+  h->pcm = pcm;
+  h->channels = channels;
+  h->capture = capture != 0;
+  return h;
+}
+
+// Blocking interleaved-float read of exactly `frames` frames (short only at
+// an unrecoverable error). Xruns are recovered and counted like the
+// reference's jack_xrun_callback (rosjack.cpp:78-82).
+long bio_alsa_read(void* handle, float* out, long frames) {
+  auto* h = (BioAlsa*)handle;
+  AlsaApi* api = alsa_api();
+  long done = 0;
+  while (done < frames) {
+    long n = api->readi(h->pcm, out + done * h->channels,
+                        (unsigned long)(frames - done));
+    if (n < 0) {
+      h->xruns++;
+      if (api->recover(h->pcm, (int)n, 1 /* silent */) < 0) return done;
+      continue;
+    }
+    done += n;
+  }
+  return done;
+}
+
+// Blocking interleaved-float write, same recovery/accounting as read.
+long bio_alsa_write(void* handle, const float* in, long frames) {
+  auto* h = (BioAlsa*)handle;
+  AlsaApi* api = alsa_api();
+  long done = 0;
+  while (done < frames) {
+    long n = api->writei(h->pcm, in + done * h->channels,
+                         (unsigned long)(frames - done));
+    if (n < 0) {
+      h->xruns++;
+      if (api->recover(h->pcm, (int)n, 1 /* silent */) < 0) return done;
+      continue;
+    }
+    done += n;
+  }
+  return done;
+}
+
+long bio_alsa_xruns(void* handle) { return ((BioAlsa*)handle)->xruns; }
+
+void bio_alsa_close(void* handle) {
+  auto* h = (BioAlsa*)handle;
+  AlsaApi* api = alsa_api();
+  if (api && h->pcm) {
+    if (!h->capture && api->drain) api->drain(h->pcm);
+    api->close(h->pcm);
+  }
+  delete h;
+}
+
+const char* bio_version() { return "beamio 0.2.0"; }
 
 }  // extern "C"

@@ -72,3 +72,23 @@ def test_theta_file_json_and_csv(tmp_path):
     # exact length passes through
     th = theta_from_spec(str(c), 4, 256, 48000, 0.0)
     np.testing.assert_array_equal(th, [5.0, 15.0, 25.0, 35.0])
+
+
+def test_param_resolution_logging(caplog):
+    """Every resolved parameter is logged like the reference's
+    *_handle_params (mvdr.cpp:150-186): INFO when supplied, WARN with the
+    default when absent; implementation knobs (solver) never warn."""
+    import logging
+
+    with caplog.at_level(logging.INFO, logger="beamform_tpu.config"):
+        make_params("mvdr", {"past_windows": 7, "solver": "scan"})
+    warns = [r for r in caplog.records if r.levelno == logging.WARNING]
+    infos = [r for r in caplog.records if r.levelno == logging.INFO]
+    assert any("mvdr/past_windows" in r.getMessage() for r in infos)
+    warned = {r.getMessage() for r in warns}
+    # The four unspecified reference params warn with their defaults...
+    for name, default in [("freq_mag_threshold", "1.5"), ("freq_max", "4000"),
+                          ("freq_min", "400"), ("out_amp", "4.5")]:
+        assert any(f"mvdr/{name}" in m and default in m for m in warned), name
+    # ...and the impl-only solver knob never does.
+    assert not any("solver" in m for m in warned)

@@ -131,3 +131,36 @@ def test_closed_loop_with_das():
     assert thetas.shape[0] == y.shape[0] // HOP
     # the controller must actually have steered at some point
     assert np.unique(thetas).size > 1
+
+
+def test_spec_doa_monitor(tmp_path):
+    """The live monitor records the reference's three scatter series
+    (energy2theta-spec.py:91-95) and renders headlessly to a file; the
+    controller's trajectory is unchanged by monitoring."""
+    from beamform_tpu.doa import SpecDoaMonitor, SpecGradientDoa
+
+    rng = np.random.default_rng(5)
+    b = np.zeros(10 * HOP)
+    r = 0.1 * rng.standard_normal(10 * HOP)
+
+    plain = SpecGradientDoa(theta=5.0, num_win=4, vad_threshold=0.0)
+    th_plain = plain.run(b, r, HOP)
+
+    out = tmp_path / "spec_doa.png"
+    mon = SpecDoaMonitor(out_path=str(out))
+    watched = SpecGradientDoa(theta=5.0, num_win=4, vad_threshold=0.0,
+                              monitor=mon)
+    th_watched = watched.run(b, r, HOP)
+
+    np.testing.assert_array_equal(th_plain, th_watched)
+    # one (rms, delta, energy) triple per objective evaluation; the first
+    # gated step evaluates twice (past_energy bootstrap,
+    # energy2theta-spec.py:132-135)
+    assert len(mon.rms_series) == len(mon.delta_series) \
+        == len(mon.energy_series) >= 6
+    # rms is the newest-window rms of (ref - beamformed)
+    w4 = r[4 * HOP:5 * HOP] - b[4 * HOP:5 * HOP]
+    assert np.isclose(mon.rms_series[0], np.sqrt(np.mean(w4 ** 2)))
+    if mon.plotting:              # matplotlib present: Agg figure on disk
+        mon.close()
+        assert out.exists() and out.stat().st_size > 0

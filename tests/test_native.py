@@ -93,3 +93,41 @@ def test_wav_stream_chunks(tmp_path):
     c, n = st.read(64)
     assert n == 0 and not c.any()
     st.close()
+
+
+def test_alsa_backend_degrades_gracefully():
+    """The in-process audio-device backend (the reference's JACK-client
+    role, rosjack.cpp:102-157) binds libasound at RUNTIME via dlopen: the
+    library must build and load on hosts with no ALSA at all, report
+    availability honestly, and fail open() with a readable reason."""
+    lib = native.load()
+    assert lib is not None
+    avail = native.alsa_available()
+    assert avail in (True, False)
+    if not avail:       # this environment: no sound stack at all
+        import pytest
+        with pytest.raises(RuntimeError, match="(?i)alsa|asound"):
+            native.AlsaPcm("default", capture=True, channels=2, rate=48000)
+    else:               # a machine with ALSA: open may still fail (no
+        try:            # device) but must not crash
+            pcm = native.AlsaPcm("default", capture=False, channels=1,
+                                 rate=48000)
+            pcm.close()
+        except RuntimeError:
+            pass
+
+
+def test_cli_device_mode_degrades(capsys):
+    """`--live --device` on a host without a sound stack exits 2 with the
+    reason and the pipe-mode hint, before any expensive compile."""
+    from beamform_tpu.runtime.cli import main
+
+    if native.alsa_available():
+        import pytest
+        pytest.skip("host has a real ALSA runtime")
+    rc = main(["das", "--live", "--device", "default",
+               "--live-channels", "2"])
+    assert rc == 2
+    err = capsys.readouterr().err
+    assert "ALSA" in err or "asound" in err
+    assert "pipe mode" in err
