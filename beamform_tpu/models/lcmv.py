@@ -176,10 +176,17 @@ class LcmvModel(BatchableConstrainedModel):
         c_uniq = self._constraints_traced(u_theta, u_angles, u_active,
                                           u_row0)             # (U,Nib,M,S)
         c_k = jnp.moveaxis(c_uniq, (1, 2, 3), (3, 2, 1))      # (U,S,M,Nib)
-        # the barrier forces the constraint build to materialize before the
-        # fused kernel's operand staging instead of fusing into it — the
-        # combined program otherwise trips an intermittent axon-worker
-        # fault at load (the same kernel under MvdrModel never faults)
+        # LOAD-BEARING: the barrier forces the constraint build to
+        # materialize before the fused kernel's operand staging instead of
+        # fusing into it — the combined program otherwise trips an
+        # intermittent axon-worker fault at load (the same kernel under
+        # MvdrModel never faults). Measured round-4 with
+        # tools/axon_fault_repro.py: without the barrier 2 of 3 fresh
+        # processes hang at program load AND leave the worker unreachable
+        # for >15 min (every subsequent client hangs at its first device
+        # op); with the barrier 11/11 clean across rounds 3-4. Do not
+        # remove without re-running the repro matrix (docs/ROADMAP.md
+        # item 2).
         c_k = jax.lax.optimization_barrier(c_k)
         from beamform_tpu.kernels.mega_stream import lcmv_mega
         audio, hist, prev = lcmv_mega(
