@@ -16,6 +16,14 @@ batched tensor ops over ``(frames, mics, bins)``.
 
 __version__ = "0.1.0"
 
+# Library-standard logging posture: without this, Python's logging.lastResort
+# handler prints config.make_params' per-parameter WARNINGs to stderr on every
+# bare library call (run_offline, get_model, bench.py). The CLI attaches its
+# own StreamHandler explicitly; applications opt in the usual way.
+import logging as _logging
+
+_logging.getLogger(__name__).addHandler(_logging.NullHandler())
+
 from beamform_tpu.config import (  # noqa: F401
     ArrayConfig,
     RosjackConfig,

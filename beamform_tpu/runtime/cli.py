@@ -519,6 +519,13 @@ def main(argv=None) -> int:
     handler.setFormatter(
         logging.Formatter("[%(levelname)s] [%(name)s]: %(message)s"))
     pkg_log = logging.getLogger("beamform_tpu")
+    # idempotent across repeated in-process main() calls (tests, embedding):
+    # drop any StreamHandler a previous invocation attached, keep the
+    # package's NullHandler
+    for h in [h for h in pkg_log.handlers
+              if isinstance(h, logging.StreamHandler)
+              and not isinstance(h, logging.NullHandler)]:
+        pkg_log.removeHandler(h)
     pkg_log.addHandler(handler)     # scoped: don't duplicate jax's handlers
     pkg_log.setLevel(getattr(logging, args.log_level.upper()))
 

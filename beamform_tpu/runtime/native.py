@@ -253,9 +253,19 @@ class AlsaPcm:
         self.capture = capture
 
     def read(self, frames: int) -> np.ndarray:
-        """Blocking capture of (channels, frames) float32."""
+        """Blocking capture of (channels, frames) float32.
+
+        Raises RuntimeError when the device returns nothing at all (e.g.
+        unplugged -> ENODEV after snd_pcm_recover fails): silently
+        zero-filling there would make the live loop busy-spin on silence
+        forever with no diagnostic. A short-but-nonzero read (mid-recover
+        xrun) is still zero-padded — that is a glitch, not a dead device."""
         out = np.empty((frames, self.channels), dtype=np.float32)
         got = self._lib.bio_alsa_read(self._h, _fp(out), frames)
+        if got <= 0 and frames > 0:
+            raise RuntimeError(
+                "ALSA capture returned no frames (device removed or "
+                f"unrecoverable PCM error; xruns so far: {self.xruns})")
         if got < frames:
             out[got:] = 0.0
         return np.ascontiguousarray(out.T)

@@ -426,8 +426,6 @@ def main():
                 result[key] = f"ERROR {type(e).__name__}: {e}"[:120]
             print(f"  {key}: {result[key]}", file=sys.stderr)
 
-        result["stats"] = stats
-
     if args.batch:
         bt = {}
         for name in ("das", "gsc", "gss"):
@@ -445,7 +443,47 @@ def main():
                   file=sys.stderr)
         result[f"batch{args.batch}_aggregate_xrt"] = bt
 
-    print(json.dumps(result))
+    # Full record (incl. per-model roofline stats) goes to bench_detail.json;
+    # stdout's LAST line is a compact headline kept well under the driver's
+    # 2000-char tail window (round-4 lesson: the r4 headline grew past it and
+    # the round's das/mvdr/gsc medians were lost — VERDICT r4 item 1).
+    detail = dict(result)
+    detail["stats"] = stats
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json")
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1)
+        result["detail_file"] = "bench_detail.json"
+    except OSError as e:
+        print(f"  bench_detail.json not written: {e}", file=sys.stderr)
+    print(compact_headline(result), file=sys.stderr)
+    print(compact_headline(result))
+
+
+def compact_headline(result, limit: int = 1400):
+    """Serialize ``result`` to one JSON line guaranteed under ``limit``
+    chars: error strings are clipped to 40 chars, then (if still oversize)
+    secondary keys are dropped in reverse-priority order. The headline
+    metric + ``all_models_xrt`` medians always survive."""
+    def clip(v):
+        if isinstance(v, str) and len(v) > 40:
+            return v[:37] + "..."
+        if isinstance(v, dict):
+            return {k: clip(x) for k, x in v.items()}
+        return v
+
+    out = {k: clip(v) for k, v in result.items()}
+    droppable = ["detail_file", "gate_pass_rate_speech",
+                 "mvdr_batch8_aggregate_xrt", "lcmv_batch8_aggregate_xrt",
+                 "mvdr_speech_xrt", "lcmv_speech_xrt",
+                 "gsc_fast_batch32_aggregate_xrt",
+                 "gsc_batch32_aggregate_xrt", "gsc_fast_xrt"]
+    line = json.dumps(out)
+    while len(line) > limit and droppable:
+        out.pop(droppable.pop(), None)
+        line = json.dumps(out)
+    return line
 
 
 if __name__ == "__main__":

@@ -86,7 +86,8 @@ def main() -> int:
     else:
         y = np.asarray(bt.run_offline("lcmv", x, engine=eng, array_cfg=cfg,
                                       theta=20.0, params=params))
-    assert np.isfinite(y).all() or True  # NaN ok (cold covariance); crash not
+    # NaN output is acceptable here (cold covariance, faithfully singular);
+    # the repro only cares that execution did not crash the worker.
     print(f"OK mode={mode} out={y.shape}")
     return 0
 
