@@ -107,6 +107,60 @@ def sharded_spectral_pipeline(mesh: Mesh, engine: EngineConfig, weights,
               jnp.asarray(weights, dtype=cdtype))
 
 
+def _bin_axis_size(mesh: Mesh | None) -> int:
+    if mesh is None:
+        return 1
+    return dict(zip(mesh.axis_names, mesh.devices.shape)).get("bin", 1)
+
+
+def _bin_pad(model, bin_size: int) -> int:
+    """Zero-padding that rounds the in-band bin count up to the mesh's
+    ``bin`` axis so NamedSharding placement is even."""
+    nib = len(getattr(model, "ib", ()))
+    if not nib or bin_size <= 1:
+        return 0
+    return (-nib) % bin_size
+
+
+def pad_state_bins(model, state, bin_size: int):
+    """Zero-pad every per-bin state axis (size nib) to the next multiple of
+    the mesh ``bin`` axis. Padded lanes carry zeros; they are sliced off
+    again before the model's ``_forward`` runs, so they never enter the
+    per-bin math. Works inside and outside jit."""
+    nib = len(getattr(model, "ib", ()))
+    pad = _bin_pad(model, bin_size)
+    if pad == 0:
+        return state
+
+    def pad_leaf(leaf):
+        for i in range(1, np.ndim(leaf)):
+            if leaf.shape[i] == nib:
+                widths = [(0, 0)] * leaf.ndim
+                widths[i] = (0, pad)
+                return jnp.pad(leaf, widths)
+        return leaf
+
+    return jax.tree.map(pad_leaf, state)
+
+
+def unpad_state_bins(model, state, bin_size: int):
+    """Inverse of :func:`pad_state_bins`: slice padded per-bin axes back to
+    the model's true in-band bin count."""
+    nib = len(getattr(model, "ib", ()))
+    pad = _bin_pad(model, bin_size)
+    if pad == 0:
+        return state
+    nib_pad = nib + pad
+
+    def unpad_leaf(leaf):
+        for i in range(1, np.ndim(leaf)):
+            if leaf.shape[i] == nib_pad:
+                return jax.lax.slice_in_dim(leaf, 0, nib, axis=i)
+        return leaf
+
+    return jax.tree.map(unpad_leaf, state)
+
+
 def state_partition_specs(model, state, mesh: Mesh | None = None):
     """PartitionSpecs for a model's batched carried state: leading axis is
     the ``stream`` (data-parallel) axis; the axis matching the model's
@@ -114,29 +168,23 @@ def state_partition_specs(model, state, mesh: Mesh | None = None):
     histories (B, W, M, Nib) and GSS demixing stacks (B, Nib, S, M) are
     per-bin independent (mvdr.cpp:77-105), the textbook bin-sharded state.
 
-    A bin count not divisible by the mesh's ``bin`` axis falls back to
-    replicating that axis (GSPMD's device_put refuses uneven shards);
-    choose freq_min/freq_max so the in-band count divides the mesh for
-    full tensor parallelism.
+    A bin count not divisible by the mesh's ``bin`` axis is handled by
+    zero-padding the stored state up to the axis size
+    (:func:`pad_state_bins`, applied by :func:`sharded_state_init`);
+    specs therefore match either the raw or the padded bin axis.
     """
     nib = len(getattr(model, "ib", ()))
-    bin_size = dict(zip(mesh.axis_names, mesh.devices.shape)).get(
-        "bin", 1) if mesh is not None else 1
-    shard_bins = nib and bin_size > 1 and nib % bin_size == 0
-    if nib and bin_size > 1 and not shard_bins:
-        import warnings
-        warnings.warn(
-            f"in-band bin count {nib} does not divide the mesh 'bin' axis "
-            f"({bin_size}); per-bin state will be REPLICATED, not sharded "
-            f"— adjust freq_min/freq_max for full tensor parallelism",
-            stacklevel=2)
+    bin_size = _bin_axis_size(mesh)
+    nib_pad = nib + _bin_pad(model, bin_size)
+    shard_sizes = {s for s in (nib, nib_pad)
+                   if s and bin_size > 1 and s % bin_size == 0}
 
     def spec_of(leaf):
         dims = [None] * leaf.ndim
         if leaf.ndim:
             dims[0] = "stream"
         for i in range(1, leaf.ndim):
-            if shard_bins and leaf.shape[i] == nib:
+            if leaf.shape[i] in shard_sizes:
                 dims[i] = "bin"
                 break
         return P(*dims)
@@ -145,8 +193,14 @@ def state_partition_specs(model, state, mesh: Mesh | None = None):
 
 
 def sharded_state_init(mesh: Mesh, model, batch: int):
-    """The model's batched carried state, placed over the mesh."""
-    state = model.batched_state_init(batch)
+    """The model's batched carried state, placed over the mesh.
+
+    When the in-band bin count does not divide the mesh ``bin`` axis, the
+    per-bin axes are zero-padded up to it so the state is genuinely
+    bin-sharded (not replicated); :func:`sharded_batched_step` slices the
+    padding off before the model's math and restores it after."""
+    state = pad_state_bins(model, model.batched_state_init(batch),
+                           _bin_axis_size(mesh))
     specs = state_partition_specs(model, state, mesh)
     return jax.tree.map(
         lambda leaf, s: jax.device_put(leaf, NamedSharding(mesh, s)),
@@ -185,12 +239,16 @@ def _sharded_stream_step(mesh: Mesh, model, x_batch, thetas, state):
     w_hist = p.past_windows
     ib = np.asarray(model.ib)
     nib = len(ib)
-    bin_size = dict(zip(mesh.axis_names, mesh.devices.shape)).get("bin", 1)
-    if bin_size > 1 and nib % bin_size:
-        raise ValueError(
-            f"stream-solver sharding needs the in-band bin count ({nib}) "
-            f"divisible by the mesh 'bin' axis ({bin_size}); adjust "
-            f"freq_min/freq_max or use solver='dense'")
+    bin_size = _bin_axis_size(mesh)
+    pad = _bin_pad(model, bin_size)
+    # a bin count that doesn't divide the mesh axis is padded by REPLICATING
+    # the last in-band bin (keeps every padded lane's covariance/solve as
+    # well-defined as a real one); padded kernel lanes are sliced off before
+    # the output scatter, and the stored history stays padded to match
+    # sharded_state_init's zero-padded placement
+    ib_padsel = np.concatenate(
+        [np.arange(nib), np.full(pad, nib - 1)]).astype(np.int32)
+    state = pad_state_bins(model, state, bin_size)
 
     x = jnp.asarray(x_batch, dtype=rdtype)
     b, t = x.shape[0], x.shape[-1] // engine.hop
@@ -208,6 +266,8 @@ def _sharded_stream_step(mesh: Mesh, model, x_batch, thetas, state):
         c_uniq = model._constraints_traced(u_th, u_ang, u_act, u_r0)
         d_uniq = jnp.moveaxis(c_uniq, (1, 2, 3), (3, 2, 1))  # (U,S,M,NIB)
         d_spec = P(None, None, None, "bin")
+    if pad:
+        d_uniq = d_uniq[..., ib_padsel]                    # replicate last
 
     interpret = not common.on_tpu_device()
     window = model.window
@@ -249,7 +309,8 @@ def _sharded_stream_step(mesh: Mesh, model, x_batch, thetas, state):
         x_ib = x_spec[:, :, :, ib]                         # (B, T, M, NIB)
         gate = mag[:, :, ib] > p.freq_mag_threshold        # (B, T, NIB)
         act = jnp.any(gate, axis=2)                        # (B, T)
-        x_ext = jnp.concatenate([hist0, x_ib], axis=1)     # (B, W+T, M, NIB)
+        x_ibp = x_ib[..., jnp.asarray(ib_padsel)] if pad else x_ib
+        x_ext = jnp.concatenate([hist0, x_ibp], axis=1)   # (B, W+T, M, NIBp)
         x_ext = _constraint(x_ext, mesh, P("stream", None, None, "bin"))
 
         y_k = shard_map(
@@ -259,6 +320,8 @@ def _sharded_stream_step(mesh: Mesh, model, x_batch, thetas, state):
             out_specs=P("stream", None, "bin"),
             # pallas_call can't declare varying-mesh-axes metadata
             check_vma=False)(x_ext, d, idx_b, act)
+        if pad:
+            y_k = y_k[:, :, :nib]                          # drop pad lanes
 
         y_ib = jnp.where(gate, y_k, x_ib[:, :, 0, :] * 0.01)  # mvdr.cpp:96
         hist_new = x_ext[:, t:t + w_hist]
@@ -293,6 +356,8 @@ def sharded_batched_step(mesh: Mesh, model, x_batch, thetas, state):
     if hasattr(model, "_use_stream") and model._use_stream():
         return _sharded_stream_step(mesh, model, x_batch, thetas, state)
     rdtype = model.rdtype
+    bin_size = _bin_axis_size(mesh)
+    state = pad_state_bins(model, state, bin_size)  # no-op if already padded
     x = jnp.asarray(x_batch, dtype=rdtype)
     b = x.shape[0]
     t = x.shape[-1] // model.engine.hop
@@ -300,7 +365,16 @@ def sharded_batched_step(mesh: Mesh, model, x_batch, thetas, state):
     ctrl = model.batch_controls(th)
 
     in_axes = (0,) + tuple(model.batch_axes) + (0,)
-    fn = jax.vmap(model._forward, in_axes=in_axes)
+    vfn = jax.vmap(model._forward, in_axes=in_axes)
+
+    def fn(xb, *rest):
+        # slice any sharding pad off the per-bin state axes before the
+        # model's math; re-pad the new state so it round-trips with the
+        # same (evenly bin-sharded) placement
+        *ctrl_args, st_p = rest
+        out, st2 = vfn(xb, *ctrl_args,
+                       unpad_state_bins(model, st_p, bin_size))
+        return out, pad_state_bins(model, st2, bin_size)
 
     x_sh = NamedSharding(mesh, P(*(["stream"] + [None] * (x.ndim - 1))))
     ctrl_sh = tuple(

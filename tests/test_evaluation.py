@@ -111,3 +111,55 @@ def test_phase_mask_improves_sir():
                                    mag_threshold=0.0))
     rep = evaluate_separation(model, scene, theta=0.0)
     assert rep["sir_gain_db"] > 0.5, rep
+
+
+def test_spectral_delay_matches_linear_on_lowpass():
+    """delay="spectral" is the exact fractional delay; on a low-passed
+    source (where linear interpolation's phase error is negligible) the two
+    propagation models produce nearly identical images."""
+    geom = ArrayGeometry.from_xy(ARRAY)
+    rng = np.random.default_rng(5)
+    s = 4096
+    k = np.hanning(64)
+    src = np.convolve(rng.standard_normal(s), k / k.sum(), "same")
+    lin = synth_scene(geom, [src], [30.0], FS, delay="linear")
+    spec = synth_scene(geom, [src], [30.0], FS, delay="spectral")
+    # ignore the block edges (spectral delay wraps circularly there)
+    core = slice(256, s - 256)
+    scale = np.abs(lin.images[0][:, core]).max()
+    dev = np.abs(lin.images[0][:, core] - spec.images[0][:, core]).max()
+    assert dev / scale < 0.02, dev / scale
+
+
+def test_bss_project_allows_short_filters():
+    """A filtered copy of the target is 'distortion' to the strict
+    single-delay SIR but signal to the taps-allowed projection (the
+    bss_eval convention)."""
+    from beamform_tpu.evaluation import bss_project, si_sdr
+
+    rng = np.random.default_rng(6)
+    n = 20000
+    tgt = rng.standard_normal(n)
+    itf = rng.standard_normal(n)
+    h = np.array([0.5, -0.3, 0.2, 0.1, -0.05])
+    est = np.convolve(tgt, h)[:n] + 0.01 * itf
+    proj = bss_project(est, tgt, itf, taps=8)
+    # strict scale-invariant SDR charges the filter as distortion;
+    # the taps-allowed projection recovers it as signal
+    assert si_sdr(est, tgt) < 10.0
+    assert proj["sdr_db"] > 25.0, proj
+    assert proj["sir_db"] > 30.0, proj
+    # and the interference is still charged as interference
+    est_bad = np.convolve(tgt, h)[:n] + 0.5 * itf
+    assert bss_project(est_bad, tgt, itf, taps=8)["sir_db"] < proj["sir_db"]
+
+
+def test_evaluate_separation_skip_and_taps():
+    geom, scene = _scene()
+    engine = EngineConfig(sample_rate=FS, window_size=HOP, dtype="float64")
+    rep = evaluate_separation(DasModel(engine, geom), scene, theta=0.0,
+                              skip=4 * HOP, taps=16)
+    for key in ("sir_gain_db", "sir_taps_db", "sir_taps_gain_db",
+                "sdr_taps_db"):
+        assert key in rep
+    assert rep["sir_gain_db"] > 1.0

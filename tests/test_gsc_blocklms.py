@@ -98,19 +98,23 @@ def _scene_and_engine():
 
 def test_blocklms_sir_parity_with_faithful():
     """The acceptance bar for the non-faithful mode: SIR gain within
-    0.5 dB of the faithful per-sample recurrence on a two-source scene."""
+    0.5 dB of the faithful per-sample recurrence on a two-source scene.
+
+    The gate is anchored to a baseline that WORKS (VERDICT round-4 item 3):
+    after the round-5 synth_scene delay-sign fix, the faithful GSC gains
+    ~21 dB SIR on this scene (blocklms ~21.7 dB — the delayed updates act
+    like a mildly regularized step), so passing the 0.5 dB band is
+    evidence of quality parity, not of two equally-broken runs agreeing."""
     geom, scene, engine = _scene_and_engine()
     faithful = GscModel(engine, geom, GscParams(solver="sample"))
     fast = GscModel(engine, geom, GscParams(solver="blocklms"))
     rep_f = evaluate_separation(faithful, scene, theta=0.0)
     rep_b = evaluate_separation(fast, scene, theta=0.0)
+    # the baseline itself must separate strongly, else the band is void
+    assert rep_f["sir_gain_db"] > 10.0, rep_f
     # one-sided: the fast mode must not separate worse; better is fine
-    # (measured: blocklms +0.6 dB over faithful on this scene — delayed
-    # updates act like a mildly regularized step)
     assert rep_b["sir_gain_db"] >= rep_f["sir_gain_db"] - 0.5, (
         rep_f, rep_b)
-    # and it actually beamforms (not a degenerate passthrough)
-    assert rep_b["sir_gain_db"] > 1.0, rep_b
 
 
 def test_model_streaming_identity():

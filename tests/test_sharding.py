@@ -174,27 +174,48 @@ def test_sharded_stream_solver_matches_single_device(name):
                                    atol=1e-5, err_msg=name)
 
 
-def test_sharded_stream_solver_rejects_indivisible_bins():
-    """Bins not divisible by the mesh 'bin' axis: loud error, not a
-    silently-replicated 'sharded' run (VERDICT round-2 weak 3)."""
+@pytest.mark.parametrize("solver,dtype,tol", [
+    ("dense", "float64", 1e-10),
+    ("stream", "float32", 2e-4),
+])
+def test_sharded_indivisible_bins_autopad(solver, dtype, tol):
+    """Bins not divisible by the mesh 'bin' axis auto-pad up to it: the
+    state is still genuinely bin-SHARDED (not replicated) and the outputs
+    still match the single-device run (VERDICT round-4 item 5). The dense
+    path zero-pads the stored state; the stream path additionally feeds the
+    kernel replicated last-bin lanes so every padded solve stays finite."""
     from beamform_tpu.config import parse_array_config
     from beamform_tpu.models import get_model
     from beamform_tpu.parallel.sharded import (
         sharded_batched_step, sharded_state_init)
-    engine = EngineConfig(sample_rate=FS, window_size=HOP, dtype="float32")
+    engine = EngineConfig(sample_rate=FS, window_size=HOP, dtype=dtype)
     mesh = _cpu_mesh(8)
+    b = mesh.devices.shape[0]
     cfg = parse_array_config({f"mic{i}": {"id": i, "x": x, "y": y}
                               for i, (x, y) in enumerate(AIRA3)})
     # 43 in-band bins: not divisible by the 2- or 4-way bin axis
     model = get_model("mvdr", engine, cfg,
                       dict(past_windows=4, freq_mag_threshold=0.0008,
-                           freq_max=16100.0, freq_min=100.0,
-                           solver="stream"))
-    with pytest.warns(UserWarning, match="REPLICATED"):
-        state = sharded_state_init(mesh, model, 2)
-    x = np.zeros((2, 3, 4 * HOP), np.float32)
-    with pytest.raises(ValueError, match="divisible"):
-        sharded_batched_step(mesh, model, x, 0.0, state)
+                           freq_max=16100.0, freq_min=100.0, solver=solver))
+    assert len(model.ib) % mesh.devices.shape[1] != 0
+    xs = np.stack([make_scene(AIRA3, seconds=0.08, theta_deg=5.0 + 7 * i,
+                              seed=50 + i, hop=HOP, quiet_hops=8)
+                   for i in range(b)]).astype(model.np_r)
+    thetas = np.linspace(-30, 30, b)
+
+    state = sharded_state_init(mesh, model, b)
+    assert any("bin" in tuple(leaf.sharding.spec)
+               for leaf in jax.tree.leaves(state) if leaf.ndim > 1)
+    out, new_state = sharded_batched_step(mesh, model, xs, thetas, state)
+    out = np.asarray(out)
+    for i in range(b):
+        yi = np.asarray(model.process(xs[i], float(thetas[i])))
+        scale = max(np.abs(yi).max(), 1e-12)
+        assert np.abs(out[i] - yi).max() / scale < tol, solver
+
+    # round-trips: the padded new state feeds the next chunk unchanged
+    out2, _ = sharded_batched_step(mesh, model, xs, thetas, new_state)
+    assert np.isfinite(np.asarray(out2)).all()
 
 
 @pytest.mark.parametrize("name,params", [
