@@ -26,6 +26,34 @@ import pytest  # noqa: E402
 from beamform_tpu.config import EngineConfig  # noqa: E402
 
 
+# ---------------------------------------------------------------- quick tier
+# `pytest -m quick` (~3 min) is the edit-loop tier: float64 oracle parity,
+# WOLA/geometry/config/eval/DOA correctness — everything that adjudicates
+# "is the math right" without the interpret-mode Pallas kernels and
+# subprocess tests that dominate the full suite's ~30+ min (VERDICT round-4
+# item 8). The full unmarked run stays the gate.
+QUICK_MODULES = {
+    "test_parity.py", "test_wola.py", "test_geometry.py", "test_doa.py",
+    "test_evaluation.py", "test_timeline.py", "test_cli_config.py",
+    "test_native.py", "test_profiling.py", "test_full_fft.py",
+}
+# slow individual tests inside otherwise-quick modules
+SLOW_NAMES = {"test_float32_deviation_budget"}
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "quick: fast correctness tier (pytest -m quick, ~3 min)")
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = os.path.basename(item.nodeid.split("::")[0])
+        name = item.nodeid.split("::")[-1].split("[")[0]
+        if mod in QUICK_MODULES and name not in SLOW_NAMES:
+            item.add_marker(pytest.mark.quick)
+
+
 @pytest.fixture
 def engine64():
     """Small, fast engine config in float64 for oracle parity."""
