@@ -62,13 +62,34 @@ from beamform_tpu.kernels.wola_pallas import (_acc_term, _bf16_pair, _dot3,
 from beamform_tpu.kernels.mvdr_stream import (
     _cmul,
     _cmul_conj,
+    _col_from_row,
     cholesky_factor_inplace,
     make_solvers,
-    sliding_update,
+    sliding_update_cols,
 )
 from beamform_tpu.kernels.lcmv_stream import constraint_space_apply
 
 FRAMES_PER_STEP = 8
+
+# Lane-grouped solves (round 5): G consecutive frames' covariances
+# concatenated on the LANE axis factor and solve in ONE chain of
+# G-fold-wide ops — 1/G the serial op count, bit-identical per lane
+# (every solver op is lane-elementwise;
+# tests/test_mega_stream.py::test_mega_solve_group_invariance).
+#
+# BUILT, MEASURED ON-CHIP, AND DISPROVEN as a speedup (2026-08-20,
+# tools/mega_profile.py, 30 s 16-ch dense input, same session):
+#   GROUP=1  1383x RT normal / 1906x gate_off
+#   GROUP=2  1176x RT normal / 1809x gate_off   (a 15% LOSS)
+# The factor+solve chain (~30% of wall by gate-knob attribution) is
+# VPU-THROUGHPUT-bound, not issue/latency-bound: halving the serial op
+# count at constant element work buys nothing, while grouping adds the
+# unconditional per-frame R snapshot stores (2x (M,M,NIBP) VMEM writes
+# even on gate-skipped frames) and the d/x lane concats. The same
+# conclusion as the GSC per-sample kernel study (docs/ROADMAP.md item 1):
+# the per-frame chain is already near its practical floor. Default stays
+# 1; BEAMFORM_MEGA_GROUP re-enables the variant for remeasurement.
+SOLVE_GROUP = 1
 
 # One pallas launch covers at most this many frames; longer streams chain
 # segments (ring/OLA carries) inside one jit. Keeping each launch's outputs
@@ -213,21 +234,27 @@ def _kernel(hops_ref, init_hop_ref, hist_r_ref, hist_i_ref,
             wins_ref,
             out_ref, ring_out_r, ring_out_i, ola_out_ref,
             sr, si, gr, gi, ur, ui, linv_ref,
-            ring_r, ring_i, prev_hop, ola, *extra_scratch,
+            ring_r, ring_i, ring_c_r, ring_c_i, prev_hop, ola,
+            *extra_scratch,
             m: int, n2: int, k2cov: int, nfft: int, w_hist: int, fb: int,
             t_real: int, s_cap: int, per_frame_ctrl: bool, refine: bool,
-            mag_threshold: float, kind: str):
+            mag_threshold: float, kind: str, solve_group: int):
     step = pl.program_id(0)
     nsteps = pl.num_programs(0)
     nibp = k2cov * 128
+    sg = solve_group
     rows = jax.lax.broadcasted_iota(jnp.int32, (m, m, nibp), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (m, m, nibp), 1)
     eye = (rows == cols).astype(jnp.float32)
     eyec = 1.0 + 0.001 * eye
-    sub = jax.lax.broadcasted_iota(jnp.int32, (1, m, nibp), 1)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nibp), 2)
+    # ur/ui/linv are sg-fold wide on lanes when solves are grouped; the
+    # solver closures are lane-elementwise, so one wide chain IS sg
+    # per-frame chains run in lockstep
+    sub = jax.lax.broadcasted_iota(jnp.int32, (1, m, sg * nibp), 1)
     solvers = make_solvers(ur, ui, linv_ref, sub, m)
     w32 = np.int32(w_hist)
+    mvdr_form = kind == "mvdr" or s_cap == 1
 
     @pl.when(step == 0)
     def _prologue():
@@ -241,14 +268,21 @@ def _kernel(hops_ref, init_hop_ref, hist_r_ref, hist_i_ref,
         ola[:] = jnp.zeros(ola.shape, jnp.float32)
         # warm-up: replay the W carried history frames as covariance
         # updates (solves gated off) — the mvdr_stream.py prepended-frame
-        # trick, done once in VMEM
+        # trick, done once in VMEM. The column-layout ring is rebuilt here
+        # too (it is scratch; only the row ring round-trips between
+        # segment launches).
         for w in range(w_hist):
             h_r = hist_r_ref[w:w + 1]
             h_i = hist_i_ref[w:w + 1]
-            sliding_update(sr, si, gr, gi, h_r, h_i,
-                           ring_r[w:w + 1], ring_i[w:w + 1], m, True)
+            hc_r, hc_i = _col_from_row(h_r, h_i, m)
+            sliding_update_cols(sr, si, gr, gi, hc_r, hc_i, h_r, h_i,
+                                ring_c_r[w * m:(w + 1) * m],
+                                ring_c_i[w * m:(w + 1) * m],
+                                ring_r[w:w + 1], ring_i[w:w + 1], True)
             ring_r[w:w + 1] = h_r
             ring_i[w:w + 1] = h_i
+            ring_c_r[w * m:(w + 1) * m] = hc_r
+            ring_c_i[w * m:(w + 1) * m] = hc_i
 
     # ---- frame-BATCHED analysis: all fb frames in wide ops --------------
     cur_all = hops_ref[...].reshape(fb * n2 * m, 64)
@@ -263,77 +297,166 @@ def _kernel(hops_ref, init_hop_ref, hist_r_ref, hist_i_ref,
 
     ysr, ysi = (extra_scratch[-2], extra_scratch[-1])      # (fb, 1, nibp)
 
-    # ---- per-frame march: gate, covariance window, solve ----------------
-    for f in range(fb):
-        t = step * fb + f
+    # block-batched column extraction: 2 x M concat-slices ONCE for all fb
+    # frames instead of per frame (the march's small-op overhead was ~40%
+    # of the non-solve wall per the round-5 attribution)
+    roww_r = jnp.concatenate([spec_r[f:f + 1] for f in range(fb)], axis=2)
+    roww_i = jnp.concatenate([spec_i[f:f + 1] for f in range(fb)], axis=2)
+    colw_r, colw_i = _col_from_row(roww_r, roww_i, m)  # (m, 1, fb*nibp)
 
-        @pl.when(t < t_real)
-        def _frame():
-            xc_r = spec_r[f:f + 1]                         # (1, m, nibp)
-            xc_i = spec_i[f:f + 1]
-            gate = gate_all[f:f + 1]
-            act = jnp.sum(gate.astype(jnp.float32)) > 0.0
+    def epoch_reset(t):
+        """Epoch-exact covariance window reset; global frame index =
+        w_hist + t (warm-ups count, matching the three-stage kernel).
+        Must run BEFORE the frame's solve/snapshot (the original per-frame
+        order: reset, solve, update)."""
+        @pl.when(jax.lax.rem(w32 + t, w32) == 0)
+        def _():
+            sr[:] = gr[:]
+            si[:] = gi[:]
+            gr[:] = jnp.zeros(gr.shape, jnp.float32)
+            gi[:] = jnp.zeros(gi.shape, jnp.float32)
 
-            # epoch-exact covariance window reset; global frame index =
-            # w_hist + t (warm-ups count, matching the three-stage kernel)
-            @pl.when(jax.lax.rem(w32 + t, w32) == 0)
-            def _():
-                sr[:] = gr[:]
-                si[:] = gi[:]
-                gr[:] = jnp.zeros(gr.shape, jnp.float32)
-                gi[:] = jnp.zeros(gi.shape, jnp.float32)
+    def slide(f, t):
+        """Sliding-window update (history shifts regardless of the gate,
+        mvdr.cpp:100-101): remove the frame W back from the VMEM ring,
+        insert the current frame — column-layout vectors precomputed."""
+        xc_r = spec_r[f:f + 1]
+        xc_i = spec_i[f:f + 1]
+        slot = jax.lax.rem(t, w32)
+        cc_r = colw_r[:, :, f * nibp:(f + 1) * nibp]
+        cc_i = colw_i[:, :, f * nibp:(f + 1) * nibp]
+        old_r = ring_r[pl.ds(slot, 1)]
+        old_i = ring_i[pl.ds(slot, 1)]
+        oldc_r = ring_c_r[pl.ds(slot * m, m)]
+        oldc_i = ring_c_i[pl.ds(slot * m, m)]
+        sliding_update_cols(sr, si, gr, gi, cc_r, cc_i, xc_r, xc_i,
+                            oldc_r, oldc_i, old_r, old_i, True)
+        ring_r[pl.ds(slot, 1)] = xc_r
+        ring_i[pl.ds(slot, 1)] = xc_i
+        ring_c_r[pl.ds(slot * m, m)] = cc_r
+        ring_c_i[pl.ds(slot * m, m)] = cc_i
 
-            fi = f if per_frame_ctrl else 0
-            # LCMV with a single active constraint slot IS the MVDR
-            # formula (lcmv.cpp's constraint-space algebra at S=1 reduces
-            # to w = R^-1 c / (c^H R^-1 c); the inner product is a real
-            # Hermitian form, so the conjugate orientation difference is
-            # f32 noise) — route it through the MVDR solve body, which
-            # is the substantially smaller Mosaic program
-            mvdr_form = kind == "mvdr" or s_cap == 1
-            if mvdr_form:
-                d_r = ctrl_r_ref[fi, 0:1]
-                d_i = ctrl_i_ref[fi, 0:1]
-            else:
-                c_rows_r = [ctrl_r_ref[fi, a:a + 1, :, :]
-                            for a in range(s_cap)]
-                c_rows_i = [ctrl_i_ref[fi, a:a + 1, :, :]
-                            for a in range(s_cap)]
+    if sg > 1:
+        # ---- grouped march + lane-wide solve, sg frames per chain ------
+        assert mvdr_form and not refine
+        for p in range(fb // sg):
+            for g in range(sg):
+                f = p * sg + g
+                t = step * fb + f
 
-            # the solve only runs on gate-passing frames (the reference's
-            # per-bin energy-gate sparsity at frame granularity); its
-            # result lands in scratch rows so the batched masked combine
-            # below is branch-free
-            @pl.when(act)
-            def _solve():
+                @pl.when(t < t_real)
+                def _frame():
+                    epoch_reset(t)
+                    # load R = S .* whiteR for this frame into its lane
+                    # segment of the wide factorization scratch (the solve
+                    # runs after the group's covariance marches; the
+                    # snapshot keeps it exact: R is the covariance of the
+                    # W frames BEFORE t, mvdr.cpp:87)
+                    ur[:, :, g * nibp:(g + 1) * nibp] = sr[:] * eyec
+                    ui[:, :, g * nibp:(g + 1) * nibp] = si[:] * eyec
+                    slide(f, t)
+
+            f0 = p * sg
+            # padded frames' gates are all-False (zero hops), so the group
+            # act covers exactly the real frames; a group whose frames are
+            # all silent (or all pad) skips the whole factor+solve chain
+            g_gate = gate_all[f0:f0 + sg]
+            g_act = jnp.sum(g_gate.astype(jnp.float32)) > 0.0
+
+            @pl.when(g_act)
+            def _solve_group():
+                d_r = jnp.concatenate(
+                    [ctrl_r_ref[f0 + g if per_frame_ctrl else 0, 0:1]
+                     for g in range(sg)], axis=2)          # (1, m, sg*nibp)
+                d_i = jnp.concatenate(
+                    [ctrl_i_ref[f0 + g if per_frame_ctrl else 0, 0:1]
+                     for g in range(sg)], axis=2)
+                x_r = jnp.concatenate(
+                    [spec_r[f0 + g:f0 + g + 1] for g in range(sg)], axis=2)
+                x_i = jnp.concatenate(
+                    [spec_i[f0 + g:f0 + g + 1] for g in range(sg)], axis=2)
+                cholesky_factor_inplace(ur, ui, linv_ref, m)
+                fwd_solve, bwd_solve, _ = solvers
+                zr_, zi_ = fwd_solve(d_r, d_i)
+                u_r, u_i = bwd_solve(zr_, zi_)
+                nr, ni = _cmul_conj(u_r, u_i, d_r, d_i)
+                den_r = jnp.sum(nr, axis=1, keepdims=True)
+                den_i = jnp.sum(ni, axis=1, keepdims=True)
+                yr_, yi_ = _cmul_conj(x_r, x_i, u_r, u_i)
+                num_r = jnp.sum(yr_, axis=1, keepdims=True)
+                num_i = jnp.sum(yi_, axis=1, keepdims=True)
+                d2 = den_r * den_r + den_i * den_i
+                scale = jnp.where(d2 > 0.0,
+                                  1.0 / jnp.maximum(d2, 1e-38), 0.0)
+                y_r = (num_r * den_r - num_i * den_i) * scale
+                y_i = (num_i * den_r + num_r * den_i) * scale
+                for g in range(sg):
+                    ysr[f0 + g:f0 + g + 1] = (
+                        y_r[:, :, g * nibp:(g + 1) * nibp])
+                    ysi[f0 + g:f0 + g + 1] = (
+                        y_i[:, :, g * nibp:(g + 1) * nibp])
+
+            @pl.when(jnp.logical_not(g_act))
+            def _silent_group():
+                ysr[f0:f0 + sg] = jnp.zeros((sg, 1, nibp), jnp.float32)
+                ysi[f0:f0 + sg] = jnp.zeros((sg, 1, nibp), jnp.float32)
+    else:
+        # ---- per-frame march + solve (multi-slot LCMV, refine) ----------
+        for f in range(fb):
+            t = step * fb + f
+
+            @pl.when(t < t_real)
+            def _frame():
+                xc_r = spec_r[f:f + 1]                     # (1, m, nibp)
+                xc_i = spec_i[f:f + 1]
+                gate = gate_all[f:f + 1]
+                act = jnp.sum(gate.astype(jnp.float32)) > 0.0
+                epoch_reset(t)
+
+                fi = f if per_frame_ctrl else 0
+                # LCMV with a single active constraint slot IS the MVDR
+                # formula (lcmv.cpp's constraint-space algebra at S=1
+                # reduces to w = R^-1 c / (c^H R^-1 c); the inner product
+                # is a real Hermitian form, so the conjugate orientation
+                # difference is f32 noise) — route it through the MVDR
+                # solve body, which is the substantially smaller Mosaic
+                # program
                 if mvdr_form:
-                    r_, i_ = _mvdr_solve_frame(
-                        sr, si, ur, ui, linv_ref, solvers,
-                        d_r, d_i, xc_r, xc_i, eyec, eye, m, refine)
+                    d_r = ctrl_r_ref[fi, 0:1]
+                    d_i = ctrl_i_ref[fi, 0:1]
                 else:
-                    xsr, xsi = extra_scratch[0], extra_scratch[1]
-                    r_, i_ = _lcmv_solve_frame(
-                        sr, si, ur, ui, xsr, xsi, linv_ref,
-                        solvers, c_rows_r, c_rows_i, xc_r, xc_i, eyec,
-                        eye, m, s_cap, refine)
-                ysr[f:f + 1] = r_
-                ysi[f:f + 1] = i_
+                    c_rows_r = [ctrl_r_ref[fi, a:a + 1, :, :]
+                                for a in range(s_cap)]
+                    c_rows_i = [ctrl_i_ref[fi, a:a + 1, :, :]
+                                for a in range(s_cap)]
 
-            @pl.when(jnp.logical_not(act))
-            def _silent():
-                ysr[f:f + 1] = jnp.zeros((1, 1, nibp), jnp.float32)
-                ysi[f:f + 1] = jnp.zeros((1, 1, nibp), jnp.float32)
+                # the solve only runs on gate-passing frames (the
+                # reference's per-bin energy-gate sparsity at frame
+                # granularity); its result lands in scratch rows so the
+                # batched masked combine below is branch-free. It must run
+                # BEFORE this frame's sliding update (R is the covariance
+                # of the W frames before t, mvdr.cpp:87).
+                @pl.when(act)
+                def _solve():
+                    if mvdr_form:
+                        r_, i_ = _mvdr_solve_frame(
+                            sr, si, ur, ui, linv_ref, solvers,
+                            d_r, d_i, xc_r, xc_i, eyec, eye, m, refine)
+                    else:
+                        xsr, xsi = extra_scratch[0], extra_scratch[1]
+                        r_, i_ = _lcmv_solve_frame(
+                            sr, si, ur, ui, xsr, xsi, linv_ref,
+                            solvers, c_rows_r, c_rows_i, xc_r, xc_i, eyec,
+                            eye, m, s_cap, refine)
+                    ysr[f:f + 1] = r_
+                    ysi[f:f + 1] = i_
 
-            # sliding-window update (history shifts regardless of the
-            # gate, mvdr.cpp:100-101): remove the frame W back from the
-            # VMEM ring, insert the current frame
-            slot = jax.lax.rem(t, w32)
-            old_r = ring_r[pl.ds(slot, 1)]
-            old_i = ring_i[pl.ds(slot, 1)]
-            sliding_update(sr, si, gr, gi, xc_r, xc_i, old_r, old_i,
-                           m, True)
-            ring_r[pl.ds(slot, 1)] = xc_r
-            ring_i[pl.ds(slot, 1)] = xc_i
+                @pl.when(jnp.logical_not(act))
+                def _silent():
+                    ysr[f:f + 1] = jnp.zeros((1, 1, nibp), jnp.float32)
+                    ysi[f:f + 1] = jnp.zeros((1, 1, nibp), jnp.float32)
+
+                slide(f, t)
 
     # ---- batched per-bin combine (mvdr.cpp:76,96) -----------------------
     x0_r = spec_r[:, 0:1, :]                               # (fb, 1, nibp)
@@ -385,6 +508,12 @@ def _mega_call(hs, hist_r, hist_i, ctrl_r, ctrl_i, band_mask,
     tp = -(-t // fb) * fb
     u, s_cap = ctrl_r.shape[:2]
     per_frame_ctrl = u > 1
+    # lane-grouped solves: MVDR-form only (see SOLVE_GROUP), refine off,
+    # group dividing the frame block
+    sg = int(os.environ.get("BEAMFORM_MEGA_GROUP", SOLVE_GROUP))
+    if not (kind == "mvdr" or s_cap == 1) or refine or fb % max(sg, 1):
+        sg = 1
+    sg = max(sg, 1)
 
     w1r, w1i, twr, twi, win_lo, win_hi, _ = _fwd_consts(nfft, m)
     war, wai, stwr, stwi, wbr, wbi = _synth_consts(nfft, k2cov)
@@ -411,7 +540,7 @@ def _mega_call(hs, hist_r, hist_i, ctrl_r, ctrl_i, band_mask,
     kernel = functools.partial(
         _kernel, m=m, n2=n2, k2cov=k2cov, nfft=nfft, w_hist=w_hist, fb=fb,
         t_real=t, s_cap=s_cap, per_frame_ctrl=per_frame_ctrl, refine=refine,
-        mag_threshold=float(mag_threshold), kind=kind)
+        mag_threshold=float(mag_threshold), kind=kind, solve_group=sg)
 
     lcmv_scratch = ([pltpu.VMEM((s_cap, m, nibp), jnp.float32)] * 2
                     if kind == "lcmv" and s_cap > 1 else [])
@@ -446,9 +575,11 @@ def _mega_call(hs, hist_r, hist_i, ctrl_r, ctrl_i, band_mask,
             jax.ShapeDtypeStruct((n2, 64), jnp.float32),
         ],
         scratch_shapes=(
-            [pltpu.VMEM((m, m, nibp), jnp.float32)] * 6
-            + [pltpu.VMEM((m, 1, nibp), jnp.float32)]
-            + [pltpu.VMEM((w_hist, m, nibp), jnp.float32)] * 2
+            [pltpu.VMEM((m, m, nibp), jnp.float32)] * 4        # sr si gr gi
+            + [pltpu.VMEM((m, m, sg * nibp), jnp.float32)] * 2  # ur ui
+            + [pltpu.VMEM((m, 1, sg * nibp), jnp.float32)]      # linv
+            + [pltpu.VMEM((w_hist, m, nibp), jnp.float32)] * 2  # row ring
+            + [pltpu.VMEM((w_hist * m, 1, nibp), jnp.float32)] * 2  # col
             + [pltpu.VMEM((n2 * m, 64), jnp.float32)]
             + [pltpu.VMEM((n2, 64), jnp.float32)]
             + lcmv_scratch
@@ -534,8 +665,14 @@ def mega_fits(m: int, ib, nfft: int, s_cap: int = 0, w_hist: int = 16,
     nibp = mega_k2cov(ib) * 128
     n2 = nfft // 128
     fb = int(os.environ.get("BEAMFORM_MEGA_FB", FRAMES_PER_STEP))
-    # ring scratch (2) + hist inputs (2) + ring outputs (2), all (W,M,NIBP)
-    scratch = (6 * m * m + m + 6 * w_hist * m + 2 * s_cap * m) * nibp * 4
+    sg = int(os.environ.get("BEAMFORM_MEGA_GROUP", SOLVE_GROUP))
+    if s_cap > 1 or fb % max(sg, 1):
+        sg = 1
+    # covariance scratch (4) + sg-wide factorization scratch (2 + linv),
+    # row ring (2) + COLUMN ring (2, same footprint) + hist inputs (2) +
+    # ring outputs (2), all nibp-lane planes
+    scratch = ((4 + 2 * sg) * m * m + sg * m
+               + 8 * w_hist * m + 2 * s_cap * m) * nibp * 4
     # worst case per-frame control planes (fb, S, M, NIBP) x2, both
     # double-buffered, + the fb-row combine scratch
     scratch += (4 * fb * s_cap * m + 2 * fb) * nibp * 4

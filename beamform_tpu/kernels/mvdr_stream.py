@@ -183,6 +183,18 @@ def sliding_update(sr, si, gr, gi, xc_r, xc_i, xo_r, xo_i, m,
     """S += outer(xc) - outer(xo); G += outer(xc) (epoch insurance)."""
     cc_r, cc_i = _col_from_row(xc_r, xc_i, m)
     co_r, co_i = _col_from_row(xo_r, xo_i, m)
+    sliding_update_cols(sr, si, gr, gi, cc_r, cc_i, xc_r, xc_i,
+                        co_r, co_i, xo_r, xo_i, exact_epochs)
+
+
+def sliding_update_cols(sr, si, gr, gi, cc_r, cc_i, xc_r, xc_i,
+                        co_r, co_i, xo_r, xo_i, exact_epochs):
+    """:func:`sliding_update` with the column-layout vectors precomputed.
+
+    The per-frame _col_from_row is 2 x M small concat-slices — callers that
+    march many frames per grid step (kernels/mega_stream.py) batch the
+    column extraction once per block and keep a column-layout ring, leaving
+    only the wide outer-product and accumulate ops in the serial chain."""
     # outer(x)[j,i] = x[j] * conj(x[i]); the row holds unconjugated x[i]
     nc_r, nc_i = _cmul_conj(cc_r, cc_i, xc_r, xc_i)         # (m,m,nib)
     no_r, no_i = _cmul_conj(co_r, co_i, xo_r, xo_i)

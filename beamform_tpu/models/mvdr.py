@@ -236,6 +236,16 @@ class MvdrModel(BatchableModel):
         w_uniq = common.weights_for_thetas(self.geom, self.freqs, thetas,
                                            self.rdtype, self.cdtype)
         d_ib = w_uniq[:, :, jnp.asarray(self.ib)]
+        # LOAD-BEARING: same staging barrier as LcmvModel._forward_mega /
+        # GssModel — XLA fusing the on-device steering build into the
+        # custom call's operand staging intermittently faults the axon
+        # worker at program LOAD (hang + >15 min unreachable chip). MVDR
+        # first hit it in round 5 when the kernel grew lane-grouped solves
+        # (2026-08-19, sweep run FB=8/SEG=192: client hung at load, a
+        # trivial matmul probe from a fresh process hung too). Do not
+        # remove without re-running tools/axon_fault_repro.py
+        # (docs/ROADMAP.md item 2).
+        d_ib = jax.lax.optimization_barrier(d_ib)
         from beamform_tpu.kernels.mega_stream import mvdr_mega
         audio, hist, prev = mvdr_mega(
             x, carry.tail, carry.out_prev, hist0, d_ib,

@@ -174,3 +174,24 @@ def test_mega_capacity_scales_with_past_windows():
                       dict(BASE, past_windows=2048, solver="mega"))
     with pytest.raises(ValueError, match="capacity"):
         model._strategy()
+
+
+@pytest.mark.parametrize("group", ["2", "4"])
+def test_mega_solve_group_invariance(monkeypatch, group):
+    """Lane-grouped solves (BEAMFORM_MEGA_GROUP) are BIT-identical to the
+    per-frame chain: every factor/solve op is elementwise over lanes, so
+    concatenating G frames' covariances on the lane axis changes the serial
+    op count, not any lane's arithmetic. The default (SOLVE_GROUP=1, the
+    measured winner — see the disproof note in kernels/mega_stream.py) is
+    covered by every other mega test; here groups 2 and 4 must reproduce
+    it exactly."""
+    engine = EngineConfig(sample_rate=48000, window_size=HOP,
+                          dtype="float32")
+    x = make_scene(AIRA3, seconds=0.2, quiet_hops=8, hop=HOP)
+    model = get_model("mvdr", engine, cfg3(), dict(BASE, solver="mega"))
+    y_default = np.asarray(model.process(x, 20.0))
+
+    monkeypatch.setenv("BEAMFORM_MEGA_GROUP", group)
+    model2 = get_model("mvdr", engine, cfg3(), dict(BASE, solver="mega"))
+    y_g = np.asarray(model2.process(x, 20.0))
+    np.testing.assert_array_equal(y_g, y_default)
