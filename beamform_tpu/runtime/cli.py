@@ -88,6 +88,22 @@ def build_parser():
     p.add_argument("--device-out", default=None,
                    help="separate ALSA PCM for playback (default: same as "
                         "--device)")
+    p.add_argument("--jack", nargs="?", const="beamform_tpu", default=None,
+                   metavar="CLIENT_NAME",
+                   help="with --live: join an existing JACK graph as a "
+                        "client under this name (default 'beamform_tpu') — "
+                        "the literal rosjack role: input_N/output ports, "
+                        "physical-port auto-connect, engine at the server "
+                        "rate (rosjack.cpp:98-157,234-270). Binds libjack "
+                        "at runtime; degrades with a clear error when no "
+                        "JACK server exists.")
+    p.add_argument("--jack-no-autoconnect", action="store_true",
+                   help="register JACK ports but do not auto-connect to the "
+                        "physical capture/playback ports (the reference's "
+                        "auto_connect:=false launch arg)")
+    p.add_argument("--max-chunks", type=int, default=0, metavar="N",
+                   help="stop the --live loop after N chunks (0 = run until "
+                        "EOF/Ctrl-C); bounds device/JACK sessions")
     p.add_argument("--out", dest="output", default=None,
                    help="output WAV path (default: rosjack write_file_path "
                         "or <in>.<node>.wav)")
@@ -338,7 +354,34 @@ def run_live(args) -> int:
         array_cfg = parse_array_config(
             {f"mic{i}": {"id": i, "x": 0.0, "y": 0.0} for i in range(ch)})
     channels = args.live_channels or array_cfg.num_mics
-    fs = args.live_rate
+
+    # JACK-graph mode: join the existing graph FIRST — the engine must run
+    # at the server's rate, exactly rosjack.cpp:141-145 (rosjack_sample_rate
+    # = jack_get_sample_rate drives everything downstream).
+    jack = None
+    if args.jack:
+        if args.device:
+            print("error: --jack and --device are mutually exclusive",
+                  file=sys.stderr)
+            return 2
+        from beamform_tpu.runtime.native import JackClient
+        try:
+            jack = JackClient(args.jack, channels=channels,
+                              auto_connect=not args.jack_no_autoconnect,
+                              connect_out=not args.jack_no_autoconnect)
+        except RuntimeError as e:
+            print(f"error: {e}", file=sys.stderr)
+            print("hint: no JACK server on this host; use --device for "
+                  "ALSA or pipe mode (--live alone)", file=sys.stderr)
+            return 2
+        if not args.jack_no_autoconnect and jack.connected_in < channels:
+            import logging
+            logging.getLogger("beamform_tpu.runtime.cli").warning(
+                "connected %d/%d JACK input ports; sticking with the ones "
+                "that were connected (rosjack.cpp:245-249)",
+                jack.connected_in, channels)
+
+    fs = jack.sample_rate if jack is not None else args.live_rate
     engine = EngineConfig(sample_rate=fs, window_size=args.window_size,
                           dtype=args.dtype)
     overrides = _node_params(args)
@@ -396,7 +439,10 @@ def run_live(args) -> int:
     # newest, emit silence in their place and count them like xruns.
     import os as _os
     import select as _select
-    raw_fd = stdin.fileno()
+    # device/graph modes never touch the stdio pipe (and under test
+    # harnesses stdin may not expose a real fd at all)
+    raw_fd = (stdin.fileno()
+              if jack is None and alsa_in is None else None)
     chunk_bytes = chunk * frame_bytes
     pending = b""
     eof = False
@@ -446,13 +492,47 @@ def run_live(args) -> int:
     from beamform_tpu.utils.profiling import RealTimeMonitor
     sess.monitor = RealTimeMonitor(fs)
 
+    if jack is not None:
+        # Graph-paced loop: the JACK server's RT callback fills/drains the
+        # SPSC rings on its own clock; this loop blocks on ring occupancy.
+        # Capture overruns are dropped periods counted by the callback
+        # (rosjack.cpp:78-82); playback underruns play silence (the
+        # jack_write.cpp:7-10 decoupling-lag semantics).
+        chunks_done = 0
+        try:
+            while args.max_chunks <= 0 or chunks_done < args.max_chunks:
+                block = jack.read(chunk)
+                if args.theta_control:
+                    theta = _poll_theta(args.theta_control, theta)
+                chunk_kw = {}
+                if interf_ctrl is not None:
+                    reset = interf_ctrl.poll()
+                    chunk_kw["interference"] = interf_ctrl.machine.rows(
+                        args.live_chunk, reset_first=reset)
+                y = np.asarray(sess.process(block, theta, **chunk_kw),
+                               dtype=np.float32)
+                jack.write(y)
+                chunks_done += 1
+        except KeyboardInterrupt:
+            pass
+        except RuntimeError as e:     # server shutdown / stalled graph
+            print(f"error: {e}", file=sys.stderr)
+        report = sess.monitor.report()
+        report["jack_xruns"] = jack.xruns
+        report["jack_connected_in"] = jack.connected_in
+        jack.close()
+        print(json.dumps({"live": report}), file=sys.stderr)
+        return 0
+
     if alsa_in is not None:
         # Device-paced loop: the hardware clock provides the real-time
         # contract (blocking readi), so there is no backlog to shed —
         # overruns surface as ALSA xruns, recovered and counted in
         # bio_alsa_read/write like jack_xrun_callback (rosjack.cpp:78-82).
+        chunks_done = 0
         try:
-            while True:
+            while args.max_chunks <= 0 or chunks_done < args.max_chunks:
+                chunks_done += 1
                 block = alsa_in.read(chunk)
                 if args.theta_control:
                     theta = _poll_theta(args.theta_control, theta)
@@ -541,8 +621,8 @@ def main(argv=None) -> int:
     if args.node == "write":
         return run_write(args)
 
-    if args.live:
-        return run_live(args)
+    if args.live or args.jack:   # --jack implies live mode (a JACK client
+        return run_live(args)    # has no offline file path)
 
     if args.input is None:
         print("error: --in is required (or use --live)", file=sys.stderr)

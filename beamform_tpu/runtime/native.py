@@ -92,6 +92,22 @@ def load() -> Optional[ctypes.CDLL]:
     lib.bio_alsa_xruns.restype = c.c_long
     lib.bio_alsa_xruns.argtypes = [c.c_void_p]
     lib.bio_alsa_close.argtypes = [c.c_void_p]
+    lib.bio_jack_runtime_available.restype = c.c_int
+    lib.bio_jack_open.restype = c.c_void_p
+    lib.bio_jack_open.argtypes = [c.c_char_p, c.c_int, c.c_int, c.c_int,
+                                  c.POINTER(c.c_int), c.POINTER(c.c_int),
+                                  c.POINTER(c.c_int), c.POINTER(c.c_int),
+                                  c.c_char_p, c.c_int]
+    lib.bio_jack_read.restype = c.c_long
+    lib.bio_jack_read.argtypes = [c.c_void_p, c.POINTER(c.c_float), c.c_long]
+    lib.bio_jack_write.restype = c.c_long
+    lib.bio_jack_write.argtypes = [c.c_void_p, c.POINTER(c.c_float),
+                                   c.c_long]
+    lib.bio_jack_xruns.restype = c.c_long
+    lib.bio_jack_xruns.argtypes = [c.c_void_p]
+    lib.bio_jack_alive.restype = c.c_int
+    lib.bio_jack_alive.argtypes = [c.c_void_p]
+    lib.bio_jack_close.argtypes = [c.c_void_p]
     _LIB = lib
     return lib
 
@@ -212,6 +228,85 @@ class WavStream:
     def close(self):
         if getattr(self, "_h", None):
             self._lib.bio_wav_stream_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        self.close()
+
+
+def jack_available() -> bool:
+    """True when BOTH the native library builds and a libjack runtime is
+    present (csrc/beamio.cpp binds it via dlopen — no JACK development
+    environment is needed at build time; BEAMIO_JACK_LIB overrides the
+    library path, the hermetic-test hook)."""
+    lib = load()
+    return bool(lib is not None and lib.bio_jack_runtime_available())
+
+
+class JackClient:
+    """A client in an existing JACK graph: the literal rosjack role
+    (rosjack.cpp:98-157 client + input_N/output ports + RT callback,
+    :234-270 physical-port auto-connect). The process callback runs on the
+    server's real-time thread and exchanges samples with this object
+    through lock-free SPSC rings; read/write here block with backpressure.
+
+    Raises RuntimeError with the underlying reason when no JACK runtime or
+    server exists, so callers can degrade to ALSA/pipe mode."""
+
+    def __init__(self, name: str = "beamform_tpu", *, channels: int,
+                 auto_connect: bool = True, connect_out: bool = True):
+        self._lib = load()
+        self._h = None
+        if self._lib is None:
+            raise RuntimeError("native beamio library unavailable")
+        c = ctypes
+        sr, bs = c.c_int(), c.c_int()
+        cin, cout = c.c_int(), c.c_int()
+        err = c.create_string_buffer(256)
+        self._h = self._lib.bio_jack_open(
+            name.encode(), channels, int(auto_connect), int(connect_out),
+            c.byref(sr), c.byref(bs), c.byref(cin), c.byref(cout),
+            err, len(err))
+        if not self._h:
+            raise RuntimeError(
+                f"JACK open({name!r}) failed: "
+                f"{err.value.decode(errors='replace')}")
+        self.channels = channels
+        self.sample_rate = sr.value      # engine runs at the server rate,
+        self.buffer_size = bs.value      # exactly rosjack.cpp:141-145
+        self.connected_in = cin.value
+        self.connected_out = cout.value
+
+    def read(self, frames: int) -> np.ndarray:
+        """Blocking capture of (channels, frames) float32 from the graph.
+
+        Raises RuntimeError when the server shut down or stalled >5 s
+        (short read) — the JACK analogue of the ALSA dead-device
+        contract."""
+        out = np.empty((frames, self.channels), dtype=np.float32)
+        got = self._lib.bio_jack_read(self._h, _fp(out), frames)
+        if got < frames:
+            raise RuntimeError(
+                "JACK capture stalled or server shut down "
+                f"(got {got}/{frames} frames; alive={self.alive})")
+        return np.ascontiguousarray(out.T)
+
+    def write(self, data) -> int:
+        """Blocking mono playback into the graph's output port."""
+        x = np.ascontiguousarray(np.asarray(data, dtype=np.float32).ravel())
+        return int(self._lib.bio_jack_write(self._h, _fp(x), x.size))
+
+    @property
+    def xruns(self) -> int:
+        return int(self._lib.bio_jack_xruns(self._h))
+
+    @property
+    def alive(self) -> bool:
+        return bool(self._lib.bio_jack_alive(self._h))
+
+    def close(self):
+        if getattr(self, "_h", None):
+            self._lib.bio_jack_close(self._h)
             self._h = None
 
     def __del__(self):

@@ -573,6 +573,338 @@ void bio_alsa_close(void* handle) {
   delete h;
 }
 
-const char* bio_version() { return "beamio 0.2.0"; }
+}  // extern "C"
+
+// ----------------------- JACK client adapter --------------------------------
+// The literal JACK-graph role of the reference (rosjack.cpp:98-157 creates
+// the client + ports and registers the real-time callback; :234-270
+// auto-connects the physical capture/playback ports). Like the ALSA
+// backend, libjack is bound AT RUNTIME via dlopen with a hand-declared ABI
+// (the JACK C ABI has been stable for decades), so the library builds and
+// loads on hosts with no JACK development environment, and
+// bio_jack_runtime_available() reports whether a server library exists.
+//
+// Threading model: JACK invokes the process callback on ITS real-time
+// thread. The callback only moves samples between the port buffers and two
+// lock-free SPSC rings (the jack_ringbuffer pattern the reference uses for
+// its output_type ROSJACK_OUT_JACK path) — capture frames are interleaved
+// into cap_ring, playback frames are drained from play_ring (underrun plays
+// silence, the decoupling-buffer semantics of jack_write.cpp:7-10). A
+// capture overrun DROPS the period and counts it, JACK's own "miss the
+// deadline, lose the period" contract (rosjack.cpp:78-82).
+//
+// Test hook: BEAMIO_JACK_LIB overrides the dlopen path so a fake libjack
+// (csrc/fakejack.cpp) can stand in for a live server — hermetic tests drive
+// the process callback by hand through it.
+
+#include <ctime>
+
+namespace {
+
+constexpr int kJackNoStartServer = 0x01;
+constexpr unsigned long kJackPortIsInput = 0x1;
+constexpr unsigned long kJackPortIsOutput = 0x2;
+constexpr unsigned long kJackPortIsPhysical = 0x4;
+const char kJackAudioType[] = "32 bit float mono audio";
+
+struct JackApi {
+  void* dl = nullptr;
+  std::string dl_path;  // retry when BEAMIO_JACK_LIB changes (test hook)
+  void* (*client_open)(const char*, int, int*, ...) = nullptr;
+  char* (*get_client_name)(void*) = nullptr;
+  int (*set_process_callback)(void*, int (*)(uint32_t, void*), void*)
+      = nullptr;
+  void (*on_shutdown)(void*, void (*)(void*), void*) = nullptr;
+  int (*set_xrun_callback)(void*, int (*)(void*), void*) = nullptr;
+  uint32_t (*get_buffer_size)(void*) = nullptr;
+  uint32_t (*get_sample_rate)(void*) = nullptr;
+  void* (*port_register)(void*, const char*, const char*, unsigned long,
+                         unsigned long) = nullptr;
+  const char* (*port_name)(void*) = nullptr;
+  void* (*port_get_buffer)(void*, uint32_t) = nullptr;
+  int (*activate)(void*) = nullptr;
+  int (*deactivate)(void*) = nullptr;
+  int (*client_close)(void*) = nullptr;
+  const char** (*get_ports)(void*, const char*, const char*, unsigned long)
+      = nullptr;
+  int (*connect_)(void*, const char*, const char*) = nullptr;
+  void (*free_)(void*) = nullptr;
+};
+
+JackApi* jack_api() {
+  static JackApi api;
+  const char* env = getenv("BEAMIO_JACK_LIB");
+  std::string want = env ? env : "";
+  if (api.dl && api.dl_path == want) return &api;
+  if (api.dl && api.dl_path != want) {  // test hook changed: rebind
+    dlclose(api.dl);
+    api.dl = nullptr;
+  }
+  void* dl = nullptr;
+  if (env) dl = dlopen(env, RTLD_NOW | RTLD_LOCAL);
+  if (!dl && !env) dl = dlopen("libjack.so.0", RTLD_NOW | RTLD_LOCAL);
+  if (!dl && !env) dl = dlopen("libjack.so", RTLD_NOW | RTLD_LOCAL);
+  if (!dl) return nullptr;
+  auto sym = [&](const char* name) { return dlsym(dl, name); };
+  api.client_open =
+      (void* (*)(const char*, int, int*, ...))sym("jack_client_open");
+  api.get_client_name = (char* (*)(void*))sym("jack_get_client_name");
+  api.set_process_callback =
+      (int (*)(void*, int (*)(uint32_t, void*), void*))
+          sym("jack_set_process_callback");
+  api.on_shutdown =
+      (void (*)(void*, void (*)(void*), void*))sym("jack_on_shutdown");
+  api.set_xrun_callback =
+      (int (*)(void*, int (*)(void*), void*))sym("jack_set_xrun_callback");
+  api.get_buffer_size = (uint32_t (*)(void*))sym("jack_get_buffer_size");
+  api.get_sample_rate = (uint32_t (*)(void*))sym("jack_get_sample_rate");
+  api.port_register =
+      (void* (*)(void*, const char*, const char*, unsigned long,
+                 unsigned long))sym("jack_port_register");
+  api.port_name = (const char* (*)(void*))sym("jack_port_name");
+  api.port_get_buffer =
+      (void* (*)(void*, uint32_t))sym("jack_port_get_buffer");
+  api.activate = (int (*)(void*))sym("jack_activate");
+  api.deactivate = (int (*)(void*))sym("jack_deactivate");
+  api.client_close = (int (*)(void*))sym("jack_client_close");
+  api.get_ports =
+      (const char** (*)(void*, const char*, const char*, unsigned long))
+          sym("jack_get_ports");
+  api.connect_ = (int (*)(void*, const char*, const char*))
+      sym("jack_connect");
+  api.free_ = (void (*)(void*))sym("jack_free");
+  if (!api.client_open || !api.set_process_callback || !api.port_register ||
+      !api.port_get_buffer || !api.activate || !api.client_close ||
+      !api.get_sample_rate || !api.get_buffer_size || !api.port_name) {
+    dlclose(dl);
+    return nullptr;
+  }
+  api.dl = dl;
+  api.dl_path = want;
+  return &api;
+}
+
+struct BioJack {
+  void* client = nullptr;
+  std::vector<void*> in_ports;
+  void* out_port = nullptr;
+  int channels = 0;
+  BioRing* cap_ring = nullptr;   // RT producer -> Python consumer
+  BioRing* play_ring = nullptr;  // Python producer -> RT consumer
+  std::vector<float> scratch;    // RT interleave buffer (preallocated)
+  std::atomic<long> xruns{0};
+  std::atomic<bool> dead{false};
+  uint32_t sample_rate = 0;
+  uint32_t buffer_size = 0;
+};
+
+int jack_process_cb(uint32_t nframes, void* arg) {
+  auto* h = (BioJack*)arg;
+  JackApi* api = jack_api();
+  const int ch = h->channels;
+  const size_t need = (size_t)nframes * ch;
+  if (h->scratch.size() < need) h->scratch.resize(need);  // rare: server
+  float* s = h->scratch.data();                           // resized buffers
+  for (int c = 0; c < ch; ++c) {
+    auto* in = (const float*)api->port_get_buffer(h->in_ports[c], nframes);
+    for (uint32_t i = 0; i < nframes; ++i) s[i * ch + c] = in[i];
+  }
+  if (bio_ring_write(h->cap_ring, s, (long)need) < (long)need)
+    h->xruns.fetch_add(1, std::memory_order_relaxed);  // consumer behind:
+                                                       // period dropped
+  auto* out = (float*)api->port_get_buffer(h->out_port, nframes);
+  long got = bio_ring_read(h->play_ring, out, (long)nframes);
+  if (got < (long)nframes)  // underrun: silence (decoupling-lag semantics)
+    memset(out + got, 0, ((size_t)nframes - got) * sizeof(float));
+  return 0;
+}
+
+void jack_shutdown_cb(void* arg) {
+  ((BioJack*)arg)->dead.store(true, std::memory_order_release);
+}
+
+int jack_xrun_cb(void* arg) {
+  ((BioJack*)arg)->xruns.fetch_add(1, std::memory_order_relaxed);
+  return 0;
+}
+
+void bio_msleep(int ms) {
+  struct timespec ts{0, ms * 1000000L};
+  nanosleep(&ts, nullptr);
+}
+
+}  // namespace
+
+extern "C" {
+
+int bio_jack_runtime_available(void) { return jack_api() != nullptr; }
+
+// Join an existing JACK graph as a client: register `channels` input ports
+// + one output port, install the RT callback, activate, and (optionally)
+// auto-connect to the first physical capture/playback ports — the exact
+// rosjack_create sequence (rosjack.cpp:98-157,234-270). Returns a handle or
+// NULL with a readable reason in errbuf. connected_in/out report how many
+// physical ports were patched (the reference warns and continues when it
+// runs out, rosjack.cpp:245-249).
+void* bio_jack_open(const char* client_name, int channels, int auto_connect,
+                    int connect_out, int* sample_rate, int* buffer_size,
+                    int* connected_in, int* connected_out,
+                    char* errbuf, int errlen) {
+  JackApi* api = jack_api();
+  if (!api) {
+    set_err(errbuf, errlen,
+            "libjack not present on this host (no JACK runtime)");
+    return nullptr;
+  }
+  int status = 0;
+  void* client = api->client_open(client_name ? client_name : "beamform_tpu",
+                                  kJackNoStartServer, &status);
+  if (!client) {
+    snprintf(errbuf ? errbuf : (char*)"", errbuf ? (size_t)errlen : 0,
+             "jack_client_open failed, status=0x%x (no JACK server running?)",
+             status);
+    return nullptr;
+  }
+  auto* h = new BioJack;
+  h->client = client;
+  h->channels = channels;
+  h->sample_rate = api->get_sample_rate(client);
+  h->buffer_size = api->get_buffer_size(client);
+  // ring capacity: ~2 s of decoupling at 48 kHz — the 50-window playback
+  // buffer scale of jack_write.cpp:7-10
+  long cap = (long)h->sample_rate * 2 * (channels > 0 ? channels : 1);
+  h->cap_ring = (BioRing*)bio_ring_create(cap);
+  h->play_ring = (BioRing*)bio_ring_create((long)h->sample_rate * 2);
+  h->scratch.resize((size_t)h->buffer_size * channels);
+  char pname[64];
+  for (int c = 0; c < channels; ++c) {
+    snprintf(pname, sizeof(pname), "input_%d", c + 1);  // rosjack.cpp:252
+    void* p = api->port_register(client, pname, kJackAudioType,
+                                 kJackPortIsInput, 0);
+    if (!p) {
+      set_err(errbuf, errlen, "jack_port_register(input) failed");
+      api->client_close(client);
+      delete h;
+      return nullptr;
+    }
+    h->in_ports.push_back(p);
+  }
+  h->out_port = api->port_register(client, "output", kJackAudioType,
+                                   kJackPortIsOutput, 0);
+  if (!h->out_port) {
+    set_err(errbuf, errlen, "jack_port_register(output) failed");
+    api->client_close(client);
+    delete h;
+    return nullptr;
+  }
+  api->set_process_callback(client, jack_process_cb, h);
+  if (api->on_shutdown) api->on_shutdown(client, jack_shutdown_cb, h);
+  if (api->set_xrun_callback)
+    api->set_xrun_callback(client, jack_xrun_cb, h);
+  if (api->activate(client) != 0) {
+    set_err(errbuf, errlen, "jack_activate failed");
+    api->client_close(client);
+    delete h;
+    return nullptr;
+  }
+  int conn_in = 0, conn_out = 0;
+  if (auto_connect && api->get_ports && api->connect_) {
+    const char** names = api->get_ports(
+        client, nullptr, nullptr, kJackPortIsPhysical | kJackPortIsOutput);
+    if (names) {
+      for (int c = 0; c < channels && names[c]; ++c) {
+        if (api->connect_(client, names[c],
+                          api->port_name(h->in_ports[c])) == 0)
+          ++conn_in;
+        else
+          break;  // reference: warn, keep the ones that connected
+      }
+      if (api->free_) api->free_((void*)names);
+    }
+  }
+  if (connect_out && api->get_ports && api->connect_) {
+    const char** names = api->get_ports(
+        client, nullptr, nullptr, kJackPortIsPhysical | kJackPortIsInput);
+    if (names) {
+      if (names[0] && api->connect_(client, api->port_name(h->out_port),
+                                    names[0]) == 0)
+        ++conn_out;
+      if (api->free_) api->free_((void*)names);
+    }
+  }
+  if (sample_rate) *sample_rate = (int)h->sample_rate;
+  if (buffer_size) *buffer_size = (int)h->buffer_size;
+  if (connected_in) *connected_in = conn_in;
+  if (connected_out) *connected_out = conn_out;
+  return h;
+}
+
+// Blocking interleaved-float capture of `frames` frames from the RT ring.
+// Returns short only when the server died (shutdown callback) or stalled
+// >5 s — callers treat short as a dead graph, like the ALSA dead-device
+// contract.
+long bio_jack_read(void* handle, float* out, long frames) {
+  auto* h = (BioJack*)handle;
+  const long need = frames * h->channels;
+  long done = 0;
+  int stalled_ms = 0;
+  while (done < need) {
+    long n = bio_ring_read(h->cap_ring, out + done, need - done);
+    done += n;
+    if (done >= need) break;
+    if (h->dead.load(std::memory_order_acquire)) break;
+    if (n == 0) {
+      if (stalled_ms >= 5000) break;
+      bio_msleep(1);
+      stalled_ms += 1;
+    } else {
+      stalled_ms = 0;
+    }
+  }
+  return done / (h->channels ? h->channels : 1);
+}
+
+// Blocking mono playback into the RT ring (backpressure: waits for space).
+long bio_jack_write(void* handle, const float* in, long frames) {
+  auto* h = (BioJack*)handle;
+  long done = 0;
+  int stalled_ms = 0;
+  while (done < frames) {
+    long n = bio_ring_write(h->play_ring, in + done, frames - done);
+    done += n;
+    if (done >= frames) break;
+    if (h->dead.load(std::memory_order_acquire)) break;
+    if (n == 0) {
+      if (stalled_ms >= 5000) break;
+      bio_msleep(1);
+      stalled_ms += 1;
+    } else {
+      stalled_ms = 0;
+    }
+  }
+  return done;
+}
+
+long bio_jack_xruns(void* handle) {
+  return ((BioJack*)handle)->xruns.load(std::memory_order_relaxed);
+}
+
+int bio_jack_alive(void* handle) {
+  return !((BioJack*)handle)->dead.load(std::memory_order_acquire);
+}
+
+void bio_jack_close(void* handle) {
+  auto* h = (BioJack*)handle;
+  JackApi* api = jack_api();
+  if (api && h->client) {
+    if (api->deactivate) api->deactivate(h->client);
+    api->client_close(h->client);
+  }
+  bio_ring_free(h->cap_ring);
+  bio_ring_free(h->play_ring);
+  delete h;
+}
+
+const char* bio_version() { return "beamio 0.3.0"; }
 
 }  // extern "C"

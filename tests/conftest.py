@@ -36,6 +36,7 @@ QUICK_MODULES = {
     "test_parity.py", "test_wola.py", "test_geometry.py", "test_doa.py",
     "test_evaluation.py", "test_timeline.py", "test_cli_config.py",
     "test_native.py", "test_profiling.py", "test_full_fft.py",
+    "test_jack.py",
 }
 # slow individual tests inside otherwise-quick modules
 SLOW_NAMES = {"test_float32_deviation_budget"}
