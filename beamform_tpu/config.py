@@ -262,6 +262,13 @@ class GscParams:
     #: faithful mode is pinned by tests/test_gsc_blocklms.py, throughput
     #: clears the 1000x target (docs/PARITY.md #24).
     solver: str = "sample"
+    #: blocklms only: samples the filter bank stays frozen for (128, 256,
+    #: 512 or 1024). Larger blocks cut the kernel's serial chain
+    #: proportionally — the single-stream throughput lever — at the cost
+    #: of up-to-(block-1)-sample filter staleness; quality is pinned per
+    #: block size by tests/test_gsc_blocklms.py. Implementation knob, not
+    #: a reference parameter.
+    block_samples: int = 128
 
 
 @dataclass(frozen=True)
@@ -383,7 +390,7 @@ def make_params(model: str, overrides: Optional[Dict[str, Any]] = None):
         if key in fields:
             kw[key] = val
     obj = cls(**kw)
-    _IMPL_KNOBS = {"solver", "spectra_bf16"}
+    _IMPL_KNOBS = {"solver", "spectra_bf16", "block_samples"}
     for f in dataclasses.fields(cls):
         if f.name in _IMPL_KNOBS:
             if f.name in kw:

@@ -35,6 +35,21 @@ matmul M dimension (B*C rows), so aggregate throughput scales with batch
 until the MXU saturates — the opposite regime from the per-sample kernel,
 whose cost is instruction issue.
 
+Block-size study (``GscParams.block_samples``, round-5 on-chip sweep,
+16 mics, 30 s): the serial chain shrinks ~l/128-fold but per-sample DFT
+work grows as (K+l)^2/l, so single-stream xRT is 689/779/805/721 at
+l=128/256/512/1024 — l=512 is the measured single-stream optimum. At
+batch 32 the MXU already sees 480 rows and extra FLOPs only hurt
+(1175 vs 1145 aggregate at 128 vs 512), so 128 stays the default.
+Measured single-stream ceiling of this formulation: ~805x — each block
+step issues ~10 three-pass dots whose M dimension is B*(M-1)=15 rows
+against (K+l)-wide DFT matrices, i.e. the MXU runs at ~12% row
+occupancy and the chain is latency-bound; closing the last 1.25x to the
+1000x bar would need an rFFT-factorized DFT (half the matrix width) or
+cross-block pipelining that breaks the update ordering — the same
+"different math, not a schedule" boundary as the faithful path's 410x
+disproof (docs/ROADMAP.md item 1).
+
 The pure-JAX reference formulation (:func:`gsc_blocklms_scan`) is the CPU
 fallback and the kernel's bit-level test oracle.
 """
@@ -54,31 +69,44 @@ from beamform_tpu.config import GscParams
 from beamform_tpu.kernels.wola_pallas import _bf16_pair, _dot3
 
 _HP = jax.lax.Precision.HIGHEST
-N = 256          # overlap-save DFT size
 K = 128          # filter taps (reference default, gsc.cpp:219)
-L = 128          # block length = taps (classic block-LMS choice)
+L = 128          # default block length = taps (classic block-LMS choice)
+VALID_BLOCKS = (128, 256, 512, 1024)   # GscParams.block_samples choices
 
 
-@lru_cache(maxsize=4)
-def _dft_consts():
-    """DFT-256 constants with the kernel's index conventions baked in,
-    as stacked bf16 hi/lo pairs for the 3-pass dots."""
-    i = np.arange(N)
-    f = np.arange(N)
-    ang = -2.0 * np.pi * np.outer(i, f) / N
-    dre, dim = np.cos(ang), np.sin(ang)                  # (N, N)
+def _block_len(params: GscParams) -> int:
+    l = int(getattr(params, "block_samples", L) or L)
+    if l not in VALID_BLOCKS:
+        raise ValueError(
+            f"block_samples={l} unsupported; choose one of {VALID_BLOCKS}")
+    return l
+
+
+@lru_cache(maxsize=8)
+def _dft_consts(l: int = L):
+    """DFT-(K+l) overlap-save constants with the kernel's index
+    conventions baked in, as stacked bf16 hi/lo pairs for the 3-pass
+    dots. ``l`` is the block length: the filter stays frozen for ``l``
+    samples, so larger blocks cut the serial chain ~l/128-fold at the
+    cost of up-to-(l-1)-sample filter staleness."""
+    n = K + l
+    i = np.arange(n)
+    f = np.arange(n)
+    ang = -2.0 * np.pi * np.outer(i, f) / n
+    dre, dim = np.cos(ang), np.sin(ang)                  # (n, n)
     # H(f) = sum_k filt[k] W^{f(K-1-k)}: reversal folded into E
     k = np.arange(K)
-    ange = -2.0 * np.pi * np.outer(K - 1 - k, f) / N
-    er, ei = np.cos(ange), np.sin(ange)                  # (K, N)
-    # forward IDFT, real part, output lanes n = 128..255 only
-    n_out = np.arange(K) + L
-    angj = 2.0 * np.pi * np.outer(f, n_out) / N
-    jc, js = np.cos(angj) / N, np.sin(angj) / N          # (N, K)
+    ange = -2.0 * np.pi * np.outer(K - 1 - k, f) / n
+    er, ei = np.cos(ange), np.sin(ange)                  # (K, n)
+    # forward IDFT, real part, output lanes n = K..K+l-1 (the l new
+    # samples; lanes >= K-1 are wrap-free in the circular conv)
+    n_out = np.arange(l) + K
+    angj = 2.0 * np.pi * np.outer(f, n_out) / n
+    jc, js = np.cos(angj) / n, np.sin(angj) / n          # (n, l)
     # gradient IDFT, real part, correlation lags m = 1..K
     m_lag = np.arange(K) + 1
-    angk = 2.0 * np.pi * np.outer(f, m_lag) / N
-    kc, ks = np.cos(angk) / N, np.sin(angk) / N          # (N, K)
+    angk = 2.0 * np.pi * np.outer(f, m_lag) / n
+    kc, ks = np.cos(angk) / n, np.sin(angk) / n          # (n, K)
     return tuple(_bf16_pair(a.astype(np.float32))
                  for a in (dre, dim, er, ei, jc, js, kc, ks))
 
@@ -107,7 +135,8 @@ def _prefix_lanes(x):
 def _kernel(u_ref, das_ref, blk_in, flt_in, lo_in,
             dre, dim, er, ei, jc, js, kc, ks, sm, xp,
             out_ref, blk_out, flt_out, lo_out,
-            blkreg, flt, lo, *, params: GscParams, chunk: int, bsz: int):
+            blkreg, flt, lo, *, params: GscParams, chunk: int, bsz: int,
+            l: int):
     step = pl.program_id(0)
     nsteps = pl.num_programs(0)
 
@@ -122,10 +151,10 @@ def _kernel(u_ref, das_ref, blk_in, flt_in, lo_in,
     c_o = np.float32(params.mu_max * params.mu_max)
     mu0 = np.float32(params.mu0)
 
-    for sub in range(chunk // L):
-        u_tile = u_ref[:, sub * L:(sub + 1) * L]          # (BC, L)
-        das_t = das_ref[:, sub * L:(sub + 1) * L]         # (B, L)
-        ucat = jnp.concatenate([blkreg[:], u_tile], axis=1)   # (BC, N)
+    for sub in range(chunk // l):
+        u_tile = u_ref[:, sub * l:(sub + 1) * l]          # (BC, l)
+        das_t = das_ref[:, sub * l:(sub + 1) * l]         # (B, l)
+        ucat = jnp.concatenate([blkreg[:], u_tile], axis=1)   # (BC, K+l)
 
         # forward FIR with the frozen filter (overlap-save)
         ur = _dot3(ucat, dre[:])
@@ -134,18 +163,18 @@ def _kernel(u_ref, das_ref, blk_in, flt_in, lo_in,
         hi = _dot3(flt[:], ei[:])
         yr = ur * hr - ui * hi
         yi = ur * hi + ui * hr
-        ych = _dot3(yr, jc[:]) - _dot3(yi, js[:])         # (BC, L)
+        ych = _dot3(yr, jc[:]) - _dot3(yi, js[:])         # (BC, l)
         fir = jnp.dot(sm[:], ych, precision=_HP,
-                      preferred_element_type=jnp.float32)  # (B, L)
+                      preferred_element_type=jnp.float32)  # (B, l)
         out = das_t - fir
 
         # exact windowed power sums (the reference's K-sample registers,
         # gsc.cpp:146-157) — vectorized over the block, no serial chain
-        fo = jnp.concatenate([lo[:], out], axis=1)        # (B, N)
+        fo = jnp.concatenate([lo[:], out], axis=1)        # (B, K+l)
         posq = _prefix_lanes(fo * fo)
-        osq = posq[:, L:] - posq[:, :L]                   # (B, L)
+        osq = posq[:, K:] - posq[:, :l]                   # (B, l)
         pbsq = _prefix_lanes(ucat * ucat)
-        bsq = pbsq[:, L:] - pbsq[:, :L]                   # (BC, L)
+        bsq = pbsq[:, K:] - pbsq[:, :l]                   # (BC, l)
 
         osq_bc = jnp.dot(xp[:], osq, precision=_HP,
                          preferred_element_type=jnp.float32)
@@ -165,18 +194,19 @@ def _kernel(u_ref, das_ref, blk_in, flt_in, lo_in,
             mu = jnp.where(last_pow < params.vad_threshold, mu, 0.0)
 
         # accumulated gradient = cross-correlation of (mu*e) with u
-        w = mu * out_bc                                   # (BC, L)
-        wr = _dot3(w, dre[:, 0:L, :])
-        wi = _dot3(w, dim[:, 0:L, :])
+        w = mu * out_bc                                   # (BC, l)
+        wr = _dot3(w, dre[:, 0:l, :])
+        wi = _dot3(w, dim[:, 0:l, :])
         gr = wr * ur + wi * ui
         gi = wr * ui - wi * ur
         grad = _dot3(gr, kc[:]) - _dot3(gi, ks[:])        # (BC, K)
 
         fnew = flt[:] + grad
         flt[:] = jnp.where(jnp.isnan(fnew), 0.0, fnew)
-        blkreg[:] = u_tile                                # L == K
-        lo[:] = out
-        out_ref[:, sub, :] = out
+        # registers <- the K most recent samples (l == K: the whole tile)
+        blkreg[:] = u_tile if l == K else u_tile[:, l - K:]
+        lo[:] = out if l == K else out[:, l - K:]
+        out_ref[:, sub * l:(sub + 1) * l] = out
 
     @pl.when(step == nsteps - 1)
     def _():
@@ -195,19 +225,19 @@ def gsc_blocklms_pallas_batched(aligned, block, filt, last_out,
     """
     bsz, m, s = aligned.shape
     c = m - 1
-    assert chunk % L == 0 and s % chunk == 0, (s, chunk)
+    l = _block_len(params)
+    assert chunk % l == 0 and s % chunk == 0, (s, chunk, l)
     assert filt.shape[-1] == K, "blocklms requires the 128-tap default"
     f32 = jnp.float32
     u = (aligned[:, 1:, :] - aligned[:, :-1, :]).astype(f32)
     u = u.reshape(bsz * c, s)
     das = jnp.mean(aligned, axis=1).astype(f32)           # (B, S)
-    consts = [jnp.asarray(a) for a in _dft_consts()]
+    consts = [jnp.asarray(a) for a in _dft_consts(l)]
     sm, xp = _group_consts(bsz, c)
 
     nsteps = s // chunk
-    rows = chunk // L
     kernel = functools.partial(_kernel, params=params, chunk=chunk,
-                               bsz=bsz)
+                               bsz=bsz, l=l)
 
     def full(shape):
         return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
@@ -226,12 +256,12 @@ def gsc_blocklms_pallas_batched(aligned, block, filt, last_out,
             full(sm.shape), full(xp.shape),
         ],
         out_specs=[
-            pl.BlockSpec((bsz, rows, L), lambda i: (0, i, 0),
+            pl.BlockSpec((bsz, chunk), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             full((bsz * c, K)), full((bsz * c, K)), full((bsz, K)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bsz, nsteps * rows, L), f32),
+            jax.ShapeDtypeStruct((bsz, s), f32),
             jax.ShapeDtypeStruct((bsz * c, K), f32),
             jax.ShapeDtypeStruct((bsz * c, K), f32),
             jax.ShapeDtypeStruct((bsz, K), f32),
@@ -253,20 +283,21 @@ def gsc_blocklms_pallas_batched(aligned, block, filt, last_out,
 # pure-JAX reference formulation (CPU fallback + kernel test oracle)
 
 def gsc_blocklms_scan(aligned, block, filt, last_out, params: GscParams):
-    """Single-stream block-LMS: aligned (M, S) with S % 128 == 0;
+    """Single-stream block-LMS: aligned (M, S) with S % block_samples == 0;
     block/filt (M-1, K); last_out (K,). Same semantics as the kernel in
     f32/f64 XLA math. Returns (out (S,), block', filt', last_out')."""
     m, s = aligned.shape
     c = m - 1
     k = filt.shape[-1]
-    assert k == K and s % L == 0, (k, s)
+    l = _block_len(params)
+    assert k == K and s % l == 0, (k, s, l)
     rd = aligned.dtype
     u = aligned[1:] - aligned[:-1]                        # (C, S)
     das = jnp.mean(aligned, axis=0)                       # (S,)
-    nb = s // L
-    u_blocks = jnp.moveaxis(u.reshape(c, nb, L), 1, 0)    # (nb, C, L)
-    das_blocks = das.reshape(nb, L)
-    idx = np.arange(L)[:, None] + np.arange(K)[None, :] + 1   # (L, K)
+    nb = s // l
+    u_blocks = jnp.moveaxis(u.reshape(c, nb, l), 1, 0)    # (nb, C, l)
+    das_blocks = das.reshape(nb, l)
+    idx = np.arange(l)[:, None] + np.arange(K)[None, :] + 1   # (l, K)
 
     kinv = rd.type(1.0 / k)
     c_b = rd.type(params.mu0 * params.mu0)
@@ -276,16 +307,16 @@ def gsc_blocklms_scan(aligned, block, filt, last_out, params: GscParams):
     def step(carry, inp):
         blk, flt_c, lo = carry
         u_t, das_t = inp
-        ucat = jnp.concatenate([blk, u_t], axis=1)        # (C, 256)
-        u3 = ucat[:, idx]                                 # (C, L, K)
+        ucat = jnp.concatenate([blk, u_t], axis=1)        # (C, K+l)
+        u3 = ucat[:, idx]                                 # (C, l, K)
         fir = jnp.einsum("cjk,ck->j", u3, flt_c, precision=_HP)
-        out = das_t - fir                                 # (L,)
+        out = das_t - fir                                 # (l,)
 
         fo = jnp.concatenate([lo, out])
         posq = jnp.cumsum(fo * fo)
-        osq = posq[L:] - posq[:L]                         # (L,)
+        osq = posq[K:] - posq[:l]                         # (l,)
         pbsq = jnp.cumsum(ucat * ucat, axis=1)
-        bsq = pbsq[:, L:] - pbsq[:, :L]                   # (C, L)
+        bsq = pbsq[:, K:] - pbsq[:, :l]                   # (C, l)
 
         cond = c_b * bsq < c_o * osq[None, :]
         p_raw = mu0 * jax.lax.rsqrt(jnp.maximum(osq * kinv, 0.0))
@@ -298,11 +329,12 @@ def gsc_blocklms_scan(aligned, block, filt, last_out, params: GscParams):
             mu = jnp.where((last_pow < params.vad_threshold)[None, :],
                            mu, 0.0)
 
-        w = mu * out[None, :]                             # (C, L)
+        w = mu * out[None, :]                             # (C, l)
         grad = jnp.einsum("cj,cjk->ck", w, u3, precision=_HP)
         fnew = flt_c + grad
         fnew = jnp.where(jnp.isnan(fnew), 0.0, fnew)
-        return (u_t, fnew, out), out
+        return (u_t[:, l - K:] if l > K else u_t,
+                fnew, out[l - K:] if l > K else out), out
 
     (blk, flt, lo), outs = jax.lax.scan(
         step, (block, filt, last_out), (u_blocks, das_blocks))

@@ -164,7 +164,8 @@ class GscModel(BatchableModel):
         return (getattr(self.params, "solver", "") == "blocklms"
                 and not self.params.write_mu
                 and self.params.filter_size == 128
-                and num_samples % 128 == 0)
+                and num_samples
+                % getattr(self.params, "block_samples", 128) == 0)
 
     def _block_chunk(self, num_samples: int, batch: int = 1) -> int:
         """Grid-step chunk for the block kernel (must divide the sample

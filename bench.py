@@ -351,6 +351,23 @@ def main():
                 result["gsc_fast_xrt"] = f"ERROR {type(e).__name__}: {e}"[:120]
             print(f"  gsc_fast: {result['gsc_fast_xrt']}", file=sys.stderr)
 
+        # single-stream-optimal fast mode: block_samples=512 (the round-5
+        # block sweep's measured optimum — kernels/gsc_blocklms.py)
+        if budget_left():
+            try:
+                fast512 = dict(LAUNCH["gsc"], solver="blocklms",
+                               block_samples=512)
+                med, sp = bench_model("gsc", x, cfg, args.seconds, fast512,
+                                      repeats=4)
+                result["gsc_fast_b512_xrt"] = round(med, 1)
+                stats["gsc_fast_b512"] = {"median": round(med, 1),
+                                          "spread": round(sp, 3)}
+            except Exception as e:
+                result["gsc_fast_b512_xrt"] = (
+                    f"ERROR {type(e).__name__}: {e}"[:120])
+            print(f"  gsc_fast_b512: {result['gsc_fast_b512_xrt']}",
+                  file=sys.stderr)
+
         # GSC's production serving shape: the sample-serial kernel batches
         # streams on sublanes; aggregate throughput at batch 32 is the
         # headline for it (single-stream is latency-bound by design)

@@ -24,12 +24,13 @@ from beamform_tpu.models.gsc import GscModel, gsc_init_state
 
 
 @pytest.mark.parametrize("use_vad", [False, True])
-def test_kernel_matches_scan(use_vad):
+@pytest.mark.parametrize("block", [128, 256, 512])
+def test_kernel_matches_scan(use_vad, block):
     m, k = 4, 128
     s = 2 * 1024
     params = GscParams(mu0=0.0005, mu_max=0.01, filter_size=k,
                        use_vad=use_vad, vad_threshold=0.05,
-                       solver="blocklms")
+                       solver="blocklms", block_samples=block)
     rng = np.random.default_rng(0)
     aligned = (0.2 * rng.standard_normal((m, s))).astype(np.float32)
     st = gsc_init_state(m, k, jnp.float32)
@@ -115,6 +116,30 @@ def test_blocklms_sir_parity_with_faithful():
     # one-sided: the fast mode must not separate worse; better is fine
     assert rep_b["sir_gain_db"] >= rep_f["sir_gain_db"] - 0.5, (
         rep_f, rep_b)
+
+
+@pytest.mark.parametrize("block", [256, 512])
+def test_larger_blocks_sir_band(block):
+    """block_samples > 128 trades more filter staleness for a shorter
+    serial chain (the single-stream throughput lever). Pin the quality
+    cost on the same working scene: within 1.0 dB of the faithful mode."""
+    geom, scene, engine = _scene_and_engine()
+    faithful = GscModel(engine, geom, GscParams(solver="sample"))
+    fast = GscModel(engine, geom,
+                    GscParams(solver="blocklms", block_samples=block))
+    rep_f = evaluate_separation(faithful, scene, theta=0.0)
+    rep_b = evaluate_separation(fast, scene, theta=0.0)
+    assert rep_f["sir_gain_db"] > 10.0, rep_f
+    assert rep_b["sir_gain_db"] >= rep_f["sir_gain_db"] - 1.0, (
+        rep_f, rep_b)
+
+
+def test_block_samples_validation():
+    params = GscParams(solver="blocklms", block_samples=200)
+    with pytest.raises(ValueError, match="block_samples"):
+        gsc_blocklms_scan(jnp.zeros((3, 1024), jnp.float32),
+                          jnp.zeros((2, 128)), jnp.zeros((2, 128)),
+                          jnp.zeros(128), params)
 
 
 def test_model_streaming_identity():
